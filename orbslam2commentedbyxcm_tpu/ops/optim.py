@@ -1,0 +1,345 @@
+"""Batched Levenberg-Marquardt bundle-adjustment engine — the g2o replacement.
+
+The reference assembles per-edge C++ object graphs and runs a single-threaded
+sparse-Cholesky LM (src/Optimizer.cc + Thirdparty/g2o). Here every problem is a
+fixed-shape batch:
+
+  * motion-only BA (`pose_optimization`)  — reference PoseOptimization
+    (src/Optimizer.cc:299-502): one SE3 pose, N masked reprojection edges,
+    4 rounds x 10 LM iterations with chi2 outlier relabeling between rounds.
+  * local/global BA (`bundle_adjustment`) — reference LocalBundleAdjustment
+    (:524-870) / BundleAdjustment (:41-296) and g2o's BlockSolver Schur path
+    (block_solver.hpp:51-90): per-landmark 3x3 Hessian blocks are inverted in
+    batch, the reduced camera system S = Hcc - W Hpp^-1 W^T is formed with two
+    einsums (MXU), and the 6K x 6K pose system is solved densely — TPUs prefer
+    one dense Cholesky over sparse scatter-gather.
+
+Conventions: pose = Tcw (4, 4) world->camera; tangent update is LEFT
+multiplicative, Tcw <- exp(xi) Tcw with xi = [rho, phi]. Observations are
+(u, v, u_right) with u_right < 0 meaning monocular (reference Frame::mvuRight).
+Units of chi2 and the Huber deltas follow the reference: 5.991 (mono) / 7.815
+(stereo) at 95%.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from orbslam2commentedbyxcm_tpu.utils.geometry import hat, se3_exp
+
+CHI2_MONO = 5.991
+CHI2_STEREO = 7.815
+
+
+def _project_residual_jacobian(t_cw, pts_w, obs, fx, fy, cx, cy, bf):
+    """Residuals r (N, 3) and pose/point Jacobians for reprojection edges.
+
+    Row 2 (u_right) is active only for stereo observations (obs[:, 2] >= 0).
+    Returns (r, J_pose (N, 3, 6), J_point (N, 3, 3), pc, stereo_mask).
+    Jacobian convention: r(xi) = obs - proj(exp(xi) Tcw pw); J = dr/dxi.
+    """
+    r_cw = t_cw[..., :3, :3]
+    pc = jnp.einsum("...ij,...j->...i", r_cw, pts_w) + t_cw[..., :3, 3]
+    x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
+    z_safe = jnp.where(z < 1e-6, 1e-6, z)
+    inv_z = 1.0 / z_safe
+    inv_z2 = inv_z * inv_z
+
+    u = fx * x * inv_z + cx
+    v = fy * y * inv_z + cy
+    ur = u - bf * inv_z
+    stereo = obs[..., 2] >= 0
+
+    r = jnp.stack(
+        [obs[..., 0] - u, obs[..., 1] - v, jnp.where(stereo, obs[..., 2] - ur, 0.0)],
+        axis=-1,
+    )
+
+    # dproj/dpc (N, 3, 3)
+    zero = jnp.zeros_like(x)
+    dproj = jnp.stack(
+        [
+            jnp.stack([fx * inv_z, zero, -fx * x * inv_z2], axis=-1),
+            jnp.stack([zero, fy * inv_z, -fy * y * inv_z2], axis=-1),
+            jnp.stack([fx * inv_z, zero, (-fx * x + bf) * inv_z2], axis=-1),
+        ],
+        axis=-2,
+    )
+    dproj = dproj * jnp.concatenate(
+        [jnp.ones_like(stereo, jnp.float32)[..., None].repeat(2, -1), stereo[..., None].astype(jnp.float32)],
+        axis=-1,
+    )[..., None]
+
+    # dpc/dxi = [I | -hat(pc)] for left-multiplicative xi = [rho, phi]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), pc.shape[:-1] + (3, 3))
+    dpc_dxi = jnp.concatenate([eye, -hat(pc)], axis=-1)  # (N, 3, 6)
+    j_pose = -dproj @ dpc_dxi
+    j_point = -dproj @ r_cw  # dpc/dpw = R
+    return r, j_pose, j_point, pc, stereo
+
+
+def _chi2(r, inv_sigma2, stereo):
+    n_dim = jnp.where(stereo, 3.0, 2.0)
+    del n_dim
+    return jnp.sum(r * r, axis=-1) * inv_sigma2
+
+
+def _huber_weight(chi2, delta2):
+    """Weight rho'(e) for the Huber kernel with threshold delta^2 on chi2."""
+    e = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+    d = jnp.sqrt(delta2)
+    return jnp.where(chi2 <= delta2, 1.0, d / e)
+
+
+class PoseOptResult(NamedTuple):
+    t_cw: jnp.ndarray       # (4, 4)
+    inliers: jnp.ndarray    # (N,) bool
+    n_inliers: jnp.ndarray  # () int32
+    chi2: jnp.ndarray       # () float32 — final robust cost
+
+
+def pose_optimization(
+    t_cw: jnp.ndarray,
+    pts_w: jnp.ndarray,
+    obs: jnp.ndarray,
+    mask: jnp.ndarray,
+    inv_sigma2: jnp.ndarray,
+    fx, fy, cx, cy, bf,
+    n_rounds: int = 4,
+    n_iters: int = 10,
+) -> PoseOptResult:
+    """Motion-only BA (reference Optimizer::PoseOptimization).
+
+    obs: (N, 3) (u, v, u_right) with u_right < 0 for mono edges. mask marks
+    valid map-point associations. Between rounds edges are relabeled
+    inlier/outlier by chi2 (5.991 / 7.815); rounds 2-3 drop the Huber kernel,
+    mirroring the reference's 4 x 10 schedule (src/Optimizer.cc:433-489).
+    """
+    stereo_all = obs[..., 2] >= 0
+    delta2 = jnp.where(stereo_all, CHI2_STEREO, CHI2_MONO)
+
+    def robust_cost(t, active, use_huber):
+        r, _, _, pc, stereo = _project_residual_jacobian(t, pts_w, obs, fx, fy, cx, cy, bf)
+        c2 = _chi2(r, inv_sigma2, stereo)
+        c2 = jnp.where(pc[..., 2] > 0, c2, 1e6)
+        if use_huber:
+            d = jnp.sqrt(delta2)
+            e = jnp.sqrt(jnp.maximum(c2, 1e-12))
+            rho = jnp.where(c2 <= delta2, c2, 2.0 * d * e - delta2)
+        else:
+            rho = c2
+        return jnp.sum(rho * active), c2
+
+    inliers = mask
+
+    for rnd in range(n_rounds):
+        use_huber = rnd < 2
+        active = inliers.astype(jnp.float32)
+
+        def lm_step(_, carry):
+            t, lam, err = carry
+            r, j_pose, _, pc, stereo = _project_residual_jacobian(
+                t, pts_w, obs, fx, fy, cx, cy, bf
+            )
+            c2 = _chi2(r, inv_sigma2, stereo)
+            w = inv_sigma2 * active
+            if use_huber:
+                w = w * _huber_weight(c2, delta2)
+            w = jnp.where(pc[..., 2] > 0, w, 0.0)
+            jw = j_pose * w[..., None, None]
+            h = jnp.einsum("nij,nik->jk", jw, j_pose, precision="highest")
+            g = jnp.einsum("nij,ni->j", jw, r, precision="highest")
+            h_lm = h + lam * jnp.diag(jnp.diag(h)) + 1e-8 * jnp.eye(6)
+            # GN convention: r = obs - pred, J = dr/dxi -> solve (JtWJ) dx = -JtWr
+            dx = -jnp.linalg.solve(h_lm, g)
+            t_new = se3_exp(dx) @ t
+            err_new, _ = robust_cost(t_new, active, use_huber)
+            accept = err_new < err
+            t = jnp.where(accept, t_new, t)
+            lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+            lam = jnp.clip(lam, 1e-8, 1e6)
+            err = jnp.where(accept, err_new, err)
+            return (t, lam, err)
+
+        err0, _ = robust_cost(t_cw, active, use_huber)
+        t_cw, _, _ = jax.lax.fori_loop(
+            0, n_iters, lm_step, (t_cw, jnp.float32(1e-3), err0)
+        )
+        # relabel
+        _, c2 = robust_cost(t_cw, active, use_huber)
+        inliers = mask & (c2 <= delta2)
+
+    _, c2 = robust_cost(t_cw, inliers.astype(jnp.float32), False)
+    inliers = mask & (c2 <= delta2)
+    return PoseOptResult(
+        t_cw=t_cw,
+        inliers=inliers,
+        n_inliers=jnp.sum(inliers.astype(jnp.int32)),
+        chi2=jnp.sum(jnp.where(inliers, c2, 0.0)),
+    )
+
+
+class BAResult(NamedTuple):
+    poses: jnp.ndarray        # (K, 4, 4)
+    points: jnp.ndarray       # (P, 3)
+    obs_inliers: jnp.ndarray  # (E,) bool
+    chi2: jnp.ndarray         # () float32
+
+
+def bundle_adjustment(
+    poses: jnp.ndarray,        # (K, 4, 4) Tcw
+    pose_fixed: jnp.ndarray,   # (K,) bool — True = held constant
+    points: jnp.ndarray,       # (P, 3) world points
+    point_valid: jnp.ndarray,  # (P,) bool
+    obs_pose: jnp.ndarray,     # (E,) int32 — pose index per edge
+    obs_point: jnp.ndarray,    # (E,) int32 — point index per edge
+    obs_uvr: jnp.ndarray,      # (E, 3) (u, v, u_right); u_right < 0 => mono
+    obs_mask: jnp.ndarray,     # (E,) bool
+    inv_sigma2: jnp.ndarray,   # (E,) float32
+    fx, fy, cx, cy, bf,
+    schedule=((5, True), (10, True)),
+    relabel_between: bool = True,
+) -> BAResult:
+    """Schur-complement LM bundle adjustment over masked edge batches.
+
+    Covers reference LocalBundleAdjustment (5 iters -> outlier relabel -> 10
+    iters, src/Optimizer.cc:524-870) and full BundleAdjustment (:41-296) —
+    the caller chooses the pose_fixed mask and schedule. Dense reduced camera
+    system: fine up to a few hundred poses; the sharded multi-device variant
+    lives in parallel/dist_ba.py.
+    """
+    k_poses = poses.shape[0]
+    p_pts = points.shape[0]
+    stereo_all = obs_uvr[..., 2] >= 0
+    delta2 = jnp.where(stereo_all, CHI2_STEREO, CHI2_MONO)
+    free_pose = ~pose_fixed
+
+    def edge_terms(poses_, points_, active, use_huber):
+        t_e = poses_[obs_pose]            # (E, 4, 4)
+        p_e = points_[obs_point]          # (E, 3)
+        r, j_pose, j_point, pc, stereo = _project_residual_jacobian(
+            t_e, p_e, obs_uvr, fx, fy, cx, cy, bf
+        )
+        c2 = _chi2(r, inv_sigma2, stereo)
+        behind = pc[..., 2] <= 0
+        w = inv_sigma2 * active * (~behind).astype(jnp.float32)
+        if use_huber:
+            w = w * _huber_weight(c2, delta2)
+        c2_eff = jnp.where(behind, 1e6, c2)
+        return r, j_pose, j_point, w, c2_eff
+
+    def total_cost(poses_, points_, active, use_huber):
+        _, _, _, _, c2 = edge_terms(poses_, points_, active, use_huber)
+        if use_huber:
+            d = jnp.sqrt(delta2)
+            e = jnp.sqrt(jnp.maximum(c2, 1e-12))
+            rho = jnp.where(c2 <= delta2, c2, 2.0 * d * e - delta2)
+        else:
+            rho = c2
+        return jnp.sum(rho * active)
+
+    def lm_step(carry, use_huber, active):
+        poses_, points_, lam, err = carry
+        r, j_pose, j_point, w, _ = edge_terms(poses_, points_, active, use_huber)
+        # zero jacobians of fixed poses
+        j_pose = j_pose * free_pose[obs_pose][..., None, None].astype(jnp.float32)
+
+        jw_pose = j_pose * w[..., None, None]
+        jw_point = j_point * w[..., None, None]
+
+        # block accumulations
+        hcc = jax.ops.segment_sum(
+            jnp.einsum("eij,eik->ejk", jw_pose, j_pose, precision="highest"),
+            obs_pose, num_segments=k_poses,
+        )  # (K, 6, 6)
+        hpp = jax.ops.segment_sum(
+            jnp.einsum("eij,eik->ejk", jw_point, j_point, precision="highest"),
+            obs_point, num_segments=p_pts,
+        )  # (P, 3, 3)
+        g_c = jax.ops.segment_sum(
+            jnp.einsum("eij,ei->ej", jw_pose, r, precision="highest"),
+            obs_pose, num_segments=k_poses,
+        )  # (K, 6)
+        g_p = jax.ops.segment_sum(
+            jnp.einsum("eij,ei->ej", jw_point, r, precision="highest"),
+            obs_point, num_segments=p_pts,
+        )  # (P, 3)
+
+        # cross blocks W (K, P, 6, 3) via flat scatter-add
+        w_blk = jnp.einsum("eij,eik->ejk", jw_pose, j_point, precision="highest")
+        flat_idx = obs_pose * p_pts + obs_point
+        w_cp = (
+            jnp.zeros((k_poses * p_pts, 6, 3), poses_.dtype)
+            .at[flat_idx]
+            .add(w_blk)
+            .reshape(k_poses, p_pts, 6, 3)
+        )
+
+        # damped landmark blocks + inverse
+        hpp_d = hpp + (lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(hpp)) + 1e-6 * jnp.eye(3))
+        hpp_inv = jnp.linalg.inv(hpp_d)
+        hpp_inv = jnp.where(point_valid[:, None, None], hpp_inv, 0.0)
+
+        # Schur complement on the MXU
+        y = jnp.einsum("kpab,pbc->kpac", w_cp, hpp_inv, precision="highest")
+        s2 = jnp.einsum("kpab,lpcb->kalc", y, w_cp, precision="highest")  # (K,6,K,6)
+        hcc_lm = hcc + lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(hcc))
+        s = -s2
+        s = s.at[jnp.arange(k_poses), :, jnp.arange(k_poses), :].add(hcc_lm)
+        g_s = g_c - jnp.einsum("kpab,pb->ka", y, g_p, precision="highest")
+
+        # fixed poses: identity rows/cols, zero rhs
+        fp = free_pose.astype(poses_.dtype)
+        s = s * fp[:, None, None, None] * fp[None, None, :, None]
+        s = s.at[jnp.arange(k_poses), :, jnp.arange(k_poses), :].add(
+            (1.0 - fp)[:, None, None] * jnp.eye(6)
+        )
+        g_s = g_s * fp[:, None]
+
+        s_mat = s.reshape(k_poses * 6, k_poses * 6) + 1e-8 * jnp.eye(k_poses * 6)
+        dx_c = -jnp.linalg.solve(s_mat, g_s.reshape(-1)).reshape(k_poses, 6)
+        dx_c = dx_c * fp[:, None]
+
+        # back-substitute landmarks: Hpp dx_p = -g_p - W^T dx_c
+        rhs_p = -g_p - jnp.einsum("kpab,ka->pb", w_cp, dx_c, precision="highest")
+        dx_p = jnp.einsum("pab,pb->pa", hpp_inv, rhs_p, precision="highest")
+        dx_p = jnp.where(point_valid[:, None], dx_p, 0.0)
+
+        poses_new = jnp.where(
+            free_pose[:, None, None], jax.vmap(se3_exp)(dx_c) @ poses_, poses_
+        )
+        points_new = points_ + dx_p
+
+        err_new = total_cost(poses_new, points_new, active, use_huber)
+        accept = err_new < err
+        poses_ = jnp.where(accept, poses_new, poses_)
+        points_ = jnp.where(accept, points_new, points_)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-8, 1e6)
+        err = jnp.where(accept, err_new, err)
+        return (poses_, points_, lam, err)
+
+    inl = obs_mask
+    for n_it, use_huber in schedule:
+        active = (inl & point_valid[obs_point]).astype(jnp.float32)
+        err0 = total_cost(poses, points, active, use_huber)
+        carry = (poses, points, jnp.float32(1e-4), err0)
+        carry = jax.lax.fori_loop(
+            0, n_it, lambda i, c: lm_step(c, use_huber, active), carry
+        )
+        poses, points, _, _ = carry
+        if relabel_between:
+            _, _, _, _, c2 = edge_terms(poses, points, active, use_huber)
+            inl = obs_mask & (c2 <= delta2)
+
+    active = (inl & point_valid[obs_point]).astype(jnp.float32)
+    _, _, _, _, c2 = edge_terms(poses, points, active, False)
+    inl = obs_mask & (c2 <= delta2)
+    return BAResult(
+        poses=poses,
+        points=points,
+        obs_inliers=inl,
+        chi2=jnp.sum(jnp.where(inl, c2, 0.0)),
+    )

@@ -233,18 +233,13 @@ def sim3_apply(m: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("...ij,...j->...i", m[..., :3, :3], pts) + m[..., :3, 3]
 
 
-def sim3_exp(xi: jnp.ndarray) -> jnp.ndarray:
-    """sim3 tangent (..., 7) [rho, phi, sigma] -> (..., 4, 4) [sR t; 0 1].
-
-    Uses the closed-form W matrix (see Strasdat's thesis / g2o sim3.h).
-    """
-    rho, phi, sigma = xi[..., :3], xi[..., 3:6], xi[..., 6]
+def _sim3_w(phi: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
+    """The W matrix of sim3 exp/log: t = W rho (Strasdat thesis / g2o sim3.h)."""
     s = jnp.exp(sigma)
-    r = so3_exp(phi)
     theta2 = jnp.sum(phi * phi, axis=-1)
     theta = jnp.sqrt(jnp.maximum(theta2, _EPS * _EPS))
     k = hat(phi)
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), k.shape)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), k.shape)
 
     sig_small = jnp.abs(sigma) < 1e-5
     th_small = theta2 < 1e-8
@@ -278,9 +273,28 @@ def sim3_exp(xi: jnp.ndarray) -> jnp.ndarray:
         jnp.where(sig_small, 1.0 / 6.0, 0.0),
         jnp.where(sig_small, c_rot_nosig, c_rot_sig),
     )
-    w = a_coef[..., None, None] * eye + b_coef[..., None, None] * k + c_coef[..., None, None] * (k @ k)
+    return a_coef[..., None, None] * eye + b_coef[..., None, None] * k + c_coef[..., None, None] * (k @ k)
+
+
+def sim3_exp(xi: jnp.ndarray) -> jnp.ndarray:
+    """sim3 tangent (..., 7) [rho, phi, sigma] -> (..., 4, 4) [sR t; 0 1].
+
+    Uses the closed-form W matrix (see Strasdat's thesis / g2o sim3.h).
+    """
+    rho, phi, sigma = xi[..., :3], xi[..., 3:6], xi[..., 6]
+    w = _sim3_w(phi, sigma)
     t = jnp.einsum("...ij,...j->...i", w, rho)
-    return sim3_make(r, t, s)
+    return sim3_make(so3_exp(phi), t, jnp.exp(sigma))
+
+
+def sim3_log(m: jnp.ndarray) -> jnp.ndarray:
+    """(..., 4, 4) [sR t; 0 1] -> (..., 7) [rho, phi, sigma]."""
+    s = sim3_scale(m)
+    sigma = jnp.log(s)
+    phi = so3_log(sim3_rot(m))
+    w = _sim3_w(phi, sigma)
+    rho = jnp.linalg.solve(w, m[..., :3, 3][..., None])[..., 0]
+    return jnp.concatenate([rho, phi, sigma[..., None]], axis=-1)
 
 
 def sim3_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
