@@ -1,0 +1,502 @@
+"""LocalMapping: map growth + local bundle adjustment.
+
+Re-architecture of the reference LocalMapping thread (src/LocalMapping.cc) as a
+pipeline stage invoked per keyframe insertion:
+
+  ProcessNewKeyFrame (:132)   -> observation wiring done by Tracking; here we
+                                 track recent points for culling
+  MapPointCulling (:185)      -> found-ratio < 0.25 / obs thresholds
+  CreateNewMapPoints (:235)   -> device epipolar-masked Hamming matching + one
+                                 batched DLT triangulation with chi2/parallax/
+                                 scale-consistency gates over all pairs at once
+  SearchInNeighbors (:506)    -> device projection matching + host merge
+  Local BA (:75)              -> ops/optim.bundle_adjustment with bucketed
+                                 static shapes (avoids per-call recompiles)
+  KeyFrameCulling (:708)      -> 90%-redundancy rule
+
+Array capacities are bucketed to powers of two so XLA compiles each problem
+size once.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orbslam2commentedbyxcm_tpu.models.frame import KeyFrame, level_sigma2
+from orbslam2commentedbyxcm_tpu.models.map import Map
+from orbslam2commentedbyxcm_tpu.ops import matching, optim, twoview
+from orbslam2commentedbyxcm_tpu.utils.camera import Camera
+
+
+def _bucket(n: int, lo: int = 256) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+@jax.jit
+def epipolar_match(
+    desc1, uv1, level1, free1, desc2, uv2, level2, free2,
+    f12, sigma2_lvl2, epipole2, max_dist,
+):
+    """Triangulation matching (SearchForTriangulation, src/ORBmatcher.cc:850):
+    unmatched features of KF1 x KF2 gated by the epipolar constraint in KF2.
+
+    Returns per-f1 (best_f2, dist, ok).
+    """
+    x1 = jnp.concatenate([uv1, jnp.ones_like(uv1[:, :1])], axis=1)
+    x2 = jnp.concatenate([uv2, jnp.ones_like(uv2[:, :1])], axis=1)
+    lines = x1 @ f12.T  # (N1, 3): epipolar line of f1 in image 2
+    num = jnp.abs(lines @ x2.T)  # (N1, N2)
+    den = jnp.sqrt(jnp.maximum(lines[:, 0:1] ** 2 + lines[:, 1:2] ** 2, 1e-12))
+    d_epi = num / den
+    th = 3.84 * jnp.sqrt(sigma2_lvl2)[None, :]
+    epi_ok = d_epi < th
+
+    # reject f2 too close to the epipole (ref :925-938: scale-dependent margin)
+    de2 = jnp.sum((uv2 - epipole2[None, :]) ** 2, axis=-1)
+    far_from_epipole = de2 > 100.0 * sigma2_lvl2
+
+    cand = (
+        free1[:, None] & free2[None, :] & epi_ok & far_from_epipole[None, :]
+    )
+    d = matching.hamming_matrix(desc1, desc2)
+    d = jnp.where(cand, d, matching.BIG)
+    best = jnp.argmin(d, axis=1).astype(jnp.int32)
+    bd = jnp.min(d, axis=1)
+    ok = bd <= max_dist
+    return best, bd, ok
+
+
+@jax.jit
+def triangulate_and_check(
+    t1, t2, uv1n, uv2n, uv1, uv2, ur1, ur2, mask,
+    sigma2_1, sigma2_2, scale1, scale2,
+    fx, fy, cx, cy, bf,
+):
+    """Batched DLT triangulation + acceptance gates (CreateNewMapPoints,
+    src/LocalMapping.cc:373-503): parallax, cheirality, reprojection chi2
+    (5.991 mono / 7.8 stereo), scale-distance consistency."""
+    p1 = t1[:3]  # (3, 4) world->cam1, normalized coords (K=I)
+    p2 = t2[:3]
+    pts = twoview.triangulate(p1, p2, uv1n, uv2n)  # world frame
+
+    r1, o1 = t1[:3, :3], -t1[:3, :3].T @ t1[:3, 3]
+    r2, o2 = t2[:3, :3], -t2[:3, :3].T @ t2[:3, 3]
+    pc1 = pts @ r1.T + t1[:3, 3]
+    pc2 = pts @ r2.T + t2[:3, 3]
+    z1, z2 = pc1[:, 2], pc2[:, 2]
+
+    ray1 = pts - o1
+    ray2 = pts - o2
+    n1 = jnp.linalg.norm(ray1, axis=-1)
+    n2 = jnp.linalg.norm(ray2, axis=-1)
+    cos_par = jnp.sum(ray1 * ray2, axis=-1) / jnp.maximum(n1 * n2, 1e-12)
+
+    def reproj_chi2(pc, uv, ur, sigma2):
+        zs = jnp.maximum(pc[:, 2], 1e-6)
+        u = fx * pc[:, 0] / zs + cx
+        v = fy * pc[:, 1] / zs + cy
+        e2 = (u - uv[:, 0]) ** 2 + (v - uv[:, 1]) ** 2
+        stereo = ur >= 0
+        eur = jnp.where(stereo, (u - bf / zs) - ur, 0.0) ** 2
+        chi = (e2 + eur) / sigma2
+        th = jnp.where(stereo, 7.8, 5.991)
+        return chi < th
+
+    ok1 = reproj_chi2(pc1, uv1, ur1, sigma2_1)
+    ok2 = reproj_chi2(pc2, uv2, ur2, sigma2_2)
+
+    # scale-distance consistency (ratioDist vs octave ratio within 1.5x)
+    ratio_dist = n2 / jnp.maximum(n1, 1e-12)
+    ratio_octave = scale1 / jnp.maximum(scale2, 1e-12)
+    factor = 1.5 * 1.2
+    scale_ok = (ratio_dist < ratio_octave * factor) & (
+        ratio_dist * factor > ratio_octave
+    )
+
+    good = (
+        mask
+        & (cos_par > 0.0)
+        & (cos_par < 0.9998)
+        & (z1 > 0)
+        & (z2 > 0)
+        & ok1
+        & ok2
+        & scale_ok
+        & jnp.all(jnp.isfinite(pts), axis=-1)
+    )
+    return pts, good
+
+
+class LocalMapping:
+    def __init__(self, world_map: Map, camera: Camera, loop_closer=None,
+                 n_triangulation_neighbors: int = 10):
+        self.map = world_map
+        self.camera = camera
+        self.loop_closer = loop_closer
+        self.relocalizer = None
+        self.n_tri_neighbors = n_triangulation_neighbors
+        self.recent_points: list[tuple[int, int]] = []  # (pid, created-at kf_id)
+        self.paused = False
+        self._ba_jit_cache = {}
+
+    # -- entry points ------------------------------------------------------
+
+    def initial_ba(self, kf1_id: int, kf2_id: int):
+        """Full BA over the 2-keyframe initial map (reference
+        CreateInitialMapMonocular runs GlobalBundleAdjustemnt(20))."""
+        self._run_ba([kf1_id, kf2_id], fixed_ids={kf1_id}, n_iters=((20, True),))
+
+    def insert_keyframe(self, kf_id: int):
+        if self.paused:
+            return
+        kf = self.map.keyframes[kf_id]
+        self._track_recent_points(kf)
+        self.cull_map_points(kf)
+        self.create_new_map_points(kf)
+        self.fuse_neighbors(kf)
+        self.local_bundle_adjustment(kf)
+        self.cull_keyframes(kf)
+        if self.loop_closer is not None:
+            self.loop_closer.insert_keyframe(kf_id)
+
+    # -- recent-point culling ---------------------------------------------
+
+    def _track_recent_points(self, kf: KeyFrame):
+        for pid in kf.map_pt[kf.map_pt >= 0]:
+            pid = int(pid)
+            if self.map.pt_first_kf[pid] == kf.kf_id:
+                self.recent_points.append((pid, kf.kf_id))
+
+    def cull_map_points(self, kf: KeyFrame):
+        """MapPointCulling (src/LocalMapping.cc:185-220)."""
+        m = self.map
+        kept = []
+        for pid, born_kf in self.recent_points:
+            if not m.pt_valid[pid]:
+                continue
+            age = kf.kf_id - born_kf
+            found_ratio = m.pt_found[pid] / max(int(m.pt_visible[pid]), 1)
+            if found_ratio < 0.25:
+                m.erase_point(pid)
+            elif age >= 2 and m.n_observations(pid) <= 2:
+                m.erase_point(pid)
+            elif age >= 3:
+                pass  # graduates out of probation
+            else:
+                kept.append((pid, born_kf))
+        self.recent_points = kept
+
+    # -- triangulation -----------------------------------------------------
+
+    def create_new_map_points(self, kf: KeyFrame):
+        cam = self.camera
+        neighbors = kf.best_covisible(self.n_tri_neighbors)
+        k_mat = cam.K
+        sigma2 = level_sigma2(kf.n_levels, kf.scale_factor)
+        kinv = np.linalg.inv(k_mat)
+
+        for nb_id in neighbors:
+            nb = self.map.keyframes.get(nb_id)
+            if nb is None or nb.bad:
+                continue
+            baseline = np.linalg.norm(nb.center - kf.center)
+            med_depth = self._scene_median_depth(nb)
+            if med_depth <= 0 or baseline / med_depth < 0.01:
+                continue
+
+            # fundamental matrix KF -> neighbor (ComputeF12, :606-626)
+            t12 = kf.t_cw @ np.linalg.inv(nb.t_cw)
+            r12, tt12 = t12[:3, :3], t12[:3, 3]
+            # F mapping x_kf -> line in nb: we need F s.t. x_nb^T F x_kf = 0
+            # E_21 = [t_21]x R_21 with 2=nb, 1=kf: T21 = nb.Tcw @ inv(kf.Tcw)
+            t21 = nb.t_cw @ np.linalg.inv(kf.t_cw)
+            r21, tt21 = t21[:3, :3], t21[:3, 3]
+            tx = np.array(
+                [[0, -tt21[2], tt21[1]], [tt21[2], 0, -tt21[0]], [-tt21[1], tt21[0], 0]]
+            )
+            f12 = kinv.T @ tx @ r21 @ kinv  # x_nb^T F x_kf = 0 form: F maps kf->line in nb
+            del r12, tt12
+
+            # epipole of kf's camera center in nb image
+            c_in_nb = nb.t_cw[:3, :3] @ kf.center + nb.t_cw[:3, 3]
+            if abs(c_in_nb[2]) < 1e-6:
+                epipole = np.array([1e6, 1e6], np.float32)
+            else:
+                epipole = (k_mat @ (c_in_nb / c_in_nb[2]))[:2].astype(np.float32)
+
+            free_kf = (kf.map_pt < 0) & kf.valid
+            free_nb = (nb.map_pt < 0) & nb.valid
+            best, bd, ok = epipolar_match(
+                jnp.asarray(kf.desc), jnp.asarray(kf.uv_und), jnp.asarray(kf.level),
+                jnp.asarray(free_kf),
+                jnp.asarray(nb.desc), jnp.asarray(nb.uv_und), jnp.asarray(nb.level),
+                jnp.asarray(free_nb),
+                jnp.asarray(f12.astype(np.float32)),
+                jnp.asarray(sigma2[nb.level].astype(np.float32)),
+                jnp.asarray(epipole), float(matching.TH_LOW),
+            )
+            best, ok = np.asarray(best), np.asarray(ok)
+            if ok.sum() == 0:
+                continue
+
+            # normalized coords for triangulation
+            def norm(uv):
+                x = np.concatenate([uv, np.ones((len(uv), 1), np.float32)], 1) @ kinv.T
+                return (x[:, :2] / x[:, 2:3]).astype(np.float32)
+
+            uv1 = kf.uv_und
+            uv2 = nb.uv_und[best]
+            pts, good = triangulate_and_check(
+                jnp.asarray(kf.t_cw), jnp.asarray(nb.t_cw),
+                jnp.asarray(norm(uv1)), jnp.asarray(norm(uv2)),
+                jnp.asarray(uv1), jnp.asarray(uv2),
+                jnp.asarray(kf.u_right), jnp.asarray(nb.u_right[best]),
+                jnp.asarray(ok),
+                jnp.asarray(sigma2[kf.level].astype(np.float32)),
+                jnp.asarray(sigma2[nb.level[best]].astype(np.float32)),
+                jnp.asarray((kf.scale_factor ** kf.level).astype(np.float32)),
+                jnp.asarray((nb.scale_factor ** nb.level[best]).astype(np.float32)),
+                cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+            )
+            pts, good = np.asarray(pts), np.asarray(good)
+            for i in np.nonzero(good)[0]:
+                if kf.map_pt[i] >= 0 or nb.map_pt[best[i]] >= 0:
+                    continue  # raced within this batch
+                pid = self.map.add_point(pts[i], kf.desc[i], kf.kf_id)
+                self.map.pt_first_kf[pid] = kf.kf_id
+                self.map.add_observation(pid, kf.kf_id, int(i))
+                self.map.add_observation(pid, nb_id, int(best[i]))
+                self.map.update_point_descriptor(pid)
+                self.map.update_point_normal_depth(pid)
+                self.recent_points.append((pid, kf.kf_id))
+        self.map.update_connections(kf)
+
+    def _scene_median_depth(self, kf: KeyFrame) -> float:
+        """KeyFrame::ComputeSceneMedianDepth (src/KeyFrame.cc:682)."""
+        pids = kf.map_pt[kf.map_pt >= 0]
+        if len(pids) == 0:
+            return -1.0
+        xyz = self.map.pt_xyz[pids]
+        z = xyz @ kf.t_cw[2, :3] + kf.t_cw[2, 3]
+        return float(np.median(z))
+
+    # -- fusion ------------------------------------------------------------
+
+    def fuse_neighbors(self, kf: KeyFrame):
+        """SearchInNeighbors (src/LocalMapping.cc:506-603): bidirectional
+        project-and-fuse with 1st/2nd-degree covisible neighbors."""
+        from orbslam2commentedbyxcm_tpu.models.tracking import project_and_match
+
+        first = kf.best_covisible(self.n_tri_neighbors)
+        targets = set(first)
+        for f in first:
+            fkf = self.map.keyframes.get(f)
+            if fkf is not None:
+                targets.update(fkf.best_covisible(5))
+        targets.discard(kf.kf_id)
+
+        def fuse_into(target: KeyFrame, pids: np.ndarray):
+            if len(pids) == 0:
+                return
+            cam = self.camera
+            cap = _bucket(len(pids), 1024)
+            xyz = np.zeros((cap, 3), np.float32)
+            desc = np.zeros((cap, 8), np.uint32)
+            normal = np.zeros((cap, 3), np.float32)
+            dmin = np.zeros(cap, np.float32)
+            dmax = np.full(cap, 1e9, np.float32)
+            mask = np.zeros(cap, bool)
+            n = len(pids)
+            xyz[:n] = self.map.pt_xyz[pids]
+            desc[:n] = self.map.pt_desc[pids]
+            normal[:n] = self.map.pt_normal[pids]
+            dmin[:n] = self.map.pt_dmin[pids]
+            dmax[:n] = self.map.pt_dmax[pids]
+            mask[:n] = True
+            best_pt, best_d, ok, _ = project_and_match(
+                jnp.asarray(xyz), jnp.asarray(desc), jnp.asarray(normal),
+                jnp.asarray(dmin), jnp.asarray(dmax), jnp.asarray(mask),
+                jnp.asarray(target.t_cw), jnp.asarray(target.uv_und),
+                jnp.asarray(target.desc), jnp.asarray(target.level),
+                jnp.asarray(target.valid),
+                cam.fx, cam.fy, cam.cx, cam.cy, float(cam.width), float(cam.height),
+                3.0, float(matching.TH_LOW), float(np.log(target.scale_factor)),
+                target.n_levels,
+            )
+            best_pt, ok = np.asarray(best_pt), np.asarray(ok)
+            for feat_idx in np.nonzero(ok)[0]:
+                slot = best_pt[feat_idx]
+                if slot >= n:
+                    continue
+                pid = int(pids[slot])
+                if not self.map.pt_valid[pid]:
+                    continue
+                existing = int(target.map_pt[feat_idx])
+                if existing >= 0 and self.map.pt_valid[existing]:
+                    if existing != pid:
+                        # keep the point with more observations
+                        if self.map.n_observations(existing) >= self.map.n_observations(pid):
+                            self.map.replace_point(pid, existing)
+                        else:
+                            self.map.replace_point(existing, pid)
+                else:
+                    if target.kf_id not in self.map.obs.get(pid, {}):
+                        self.map.add_observation(pid, target.kf_id, int(feat_idx))
+                        self.map.update_point_descriptor(pid)
+                        self.map.update_point_normal_depth(pid)
+
+        kf_pids = np.unique(kf.map_pt[kf.map_pt >= 0])
+        kf_pids = kf_pids[self.map.pt_valid[kf_pids]]
+        for t_id in targets:
+            target = self.map.keyframes.get(t_id)
+            if target is not None and not target.bad:
+                fuse_into(target, kf_pids)
+        # reverse direction: neighbors' points into kf
+        nb_pids = self.map.points_seen_by(targets)
+        fuse_into(kf, nb_pids)
+        self.map.update_connections(kf)
+
+    # -- local BA ----------------------------------------------------------
+
+    def local_bundle_adjustment(self, kf: KeyFrame):
+        local_ids = [kf.kf_id] + kf.best_covisible()
+        self._run_ba(local_ids, fixed_ids=None)
+
+    def _run_ba(self, local_ids, fixed_ids=None, n_iters=((5, True), (10, True))):
+        """Assemble a (bucketed) BA problem over local_ids + their points, with
+        the second ring fixed (reference LocalBundleAdjustment)."""
+        m = self.map
+        cam = self.camera
+        local_set = [i for i in dict.fromkeys(local_ids) if i in m.keyframes and not m.keyframes[i].bad]
+        pids = m.points_seen_by(local_set)
+        if len(pids) < 8 or len(local_set) == 0:
+            return
+
+        # second ring = observers of local points not in local set
+        in_local = set(local_set)
+        ring2 = set()
+        for pid in pids:
+            for kf_id in m.obs.get(int(pid), {}):
+                if kf_id not in in_local:
+                    ring2.add(kf_id)
+        all_ids = local_set + sorted(ring2)
+        if fixed_ids is None:
+            fixed = {i for i in ring2}
+            fixed.add(m.origin_kf_id)
+        else:
+            fixed = set(fixed_ids) | ring2
+        # gauge safety: at least one fixed pose
+        if not any(i in fixed for i in all_ids):
+            fixed.add(all_ids[0])
+
+        kf_slot = {kf_id: s for s, kf_id in enumerate(all_ids)}
+        pid_slot = {int(p): s for s, p in enumerate(pids)}
+
+        k_cap = _bucket(len(all_ids), 8)
+        p_cap = _bucket(len(pids), 256)
+
+        poses = np.tile(np.eye(4, dtype=np.float32), (k_cap, 1, 1))
+        pose_fixed = np.ones(k_cap, bool)
+        for kf_id, s in kf_slot.items():
+            poses[s] = m.keyframes[kf_id].t_cw
+            pose_fixed[s] = kf_id in fixed
+
+        points = np.zeros((p_cap, 3), np.float32)
+        point_valid = np.zeros(p_cap, bool)
+        points[: len(pids)] = m.pt_xyz[pids]
+        point_valid[: len(pids)] = True
+
+        obs_pose, obs_point, obs_uvr, obs_sig, obs_feat = [], [], [], [], []
+        for pid in pids:
+            for kf_id, feat_idx in m.obs.get(int(pid), {}).items():
+                if kf_id not in kf_slot:
+                    continue
+                okf = m.keyframes[kf_id]
+                obs_pose.append(kf_slot[kf_id])
+                obs_point.append(pid_slot[int(pid)])
+                obs_uvr.append(
+                    (okf.uv_und[feat_idx][0], okf.uv_und[feat_idx][1], okf.u_right[feat_idx])
+                )
+                obs_sig.append(okf.inv_sigma2()[feat_idx])
+                obs_feat.append((kf_id, int(pid), feat_idx))
+        if len(obs_pose) < 8:
+            return
+        e_cap = _bucket(len(obs_pose), 1024)
+        op = np.zeros(e_cap, np.int32)
+        opt_ = np.zeros(e_cap, np.int32)
+        ouv = np.zeros((e_cap, 3), np.float32)
+        ouv[:, 2] = -1.0
+        osig = np.ones(e_cap, np.float32)
+        omask = np.zeros(e_cap, bool)
+        ne = len(obs_pose)
+        op[:ne] = obs_pose
+        opt_[:ne] = obs_point
+        ouv[:ne] = obs_uvr
+        osig[:ne] = obs_sig
+        omask[:ne] = True
+
+        res = optim.bundle_adjustment(
+            jnp.asarray(poses), jnp.asarray(pose_fixed), jnp.asarray(points),
+            jnp.asarray(point_valid), jnp.asarray(op), jnp.asarray(opt_),
+            jnp.asarray(ouv), jnp.asarray(omask), jnp.asarray(osig),
+            cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+            schedule=n_iters,
+        )
+        out_poses = np.asarray(res.poses)
+        out_points = np.asarray(res.points)
+        inl = np.asarray(res.obs_inliers)
+
+        for kf_id, s in kf_slot.items():
+            if not pose_fixed[s]:
+                m.keyframes[kf_id].set_pose(out_poses[s])
+        m.pt_xyz[pids] = out_points[: len(pids)]
+        # erase outlier observations (reference :816-855)
+        for e in np.nonzero(~inl[:ne])[0]:
+            kf_id, pid, feat_idx = obs_feat[e]
+            m.erase_observation(pid, kf_id)
+        for pid in pids:
+            if m.pt_valid[pid]:
+                m.update_point_normal_depth(int(pid))
+
+    # -- keyframe culling --------------------------------------------------
+
+    def cull_keyframes(self, kf: KeyFrame):
+        """KeyFrameCulling (src/LocalMapping.cc:708-775): a local KF is
+        redundant if >=90% of its points are seen by >=3 other KFs at the same
+        or finer scale."""
+        m = self.map
+        for kf_id in kf.best_covisible():
+            c = m.keyframes.get(kf_id)
+            if c is None or c.bad or c.kf_id == m.origin_kf_id:
+                continue
+            pids = c.map_pt[c.map_pt >= 0]
+            if len(pids) == 0:
+                continue
+            n_redundant = 0
+            n_total = 0
+            for i, pid in zip(np.nonzero(c.map_pt >= 0)[0], pids):
+                pid = int(pid)
+                if not m.pt_valid[pid]:
+                    continue
+                n_total += 1
+                lvl = c.level[i]
+                n_better = 0
+                for other_id, fidx in m.obs.get(pid, {}).items():
+                    if other_id == kf_id:
+                        continue
+                    o = m.keyframes.get(other_id)
+                    if o is not None and o.level[fidx] <= lvl + 1:
+                        n_better += 1
+                        if n_better >= 3:
+                            break
+                if n_better >= 3:
+                    n_redundant += 1
+            if n_total > 0 and n_redundant > 0.9 * n_total:
+                m.erase_keyframe(kf_id)

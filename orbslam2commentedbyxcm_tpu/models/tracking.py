@@ -1,0 +1,446 @@
+"""Tracking: the per-frame pose-estimation state machine.
+
+Re-architecture of the reference Tracking thread (src/Tracking.cc): the same
+FSM (NOT_INITIALIZED -> OK <-> LOST), the same stages (monocular two-view init
+:623-813, motion-model tracking :966-1026, reference-KF tracking :841-886,
+local-map tracking :1038-1082, keyframe policy :1088-1186) — but every stage's
+compute is one jitted device program over fixed-capacity arrays:
+
+  * projection search (SearchByProjection, src/ORBmatcher.cc:61/:1620) is a
+    single device kernel: project -> frustum/scale/view-angle gates -> masked
+    MXU Hamming -> per-feature argmin  (`project_and_match`)
+  * motion-only BA is ops/optim.pose_optimization
+  * two-view bootstrap is ops/twoview.initialize_two_view
+
+The host part below is thin bookkeeping: state transitions, keyframe policy,
+map updates.
+"""
+
+from __future__ import annotations
+
+import enum
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orbslam2commentedbyxcm_tpu.models.frame import Frame
+from orbslam2commentedbyxcm_tpu.models.map import Map
+from orbslam2commentedbyxcm_tpu.ops import matching, optim, twoview
+from orbslam2commentedbyxcm_tpu.utils import geometry as geo
+from orbslam2commentedbyxcm_tpu.utils.camera import Camera
+
+LOCAL_POINT_CAP = 4096
+
+
+class TrackingState(enum.Enum):
+    NOT_INITIALIZED = 0
+    OK = 1
+    LOST = 2
+
+
+@dataclass
+class TrackingConfig:
+    n_features: int = 1000
+    scale_factor: float = 1.2
+    n_levels: int = 8
+    min_frames_between_kf: int = 0
+    max_frames_between_kf: int = 30
+    min_init_matches: int = 60
+    min_track_inliers: int = 10
+    min_localmap_inliers: int = 30
+    kf_tracked_ratio: float = 0.9
+    motion_search_radius: float = 15.0
+    localmap_search_radius: float = 4.0
+    depth_th: float = 35.0  # close/far stereo threshold in baseline units
+
+
+@functools.partial(jax.jit, static_argnames=("n_levels",))
+def project_and_match(
+    pt_xyz, pt_desc, pt_normal, pt_dmin, pt_dmax, pt_mask,
+    t_cw, feat_uv, feat_desc, feat_level, feat_valid,
+    fx, fy, cx, cy, width, height,
+    radius_base, max_dist, log_scale, n_levels,
+):
+    """Device-side SearchByProjection: returns per-feature (point_slot, dist, ok).
+
+    Combines the reference's IsInFrustum gates (src/Frame.cc:412-477) with the
+    windowed Hamming search (src/ORBmatcher.cc:61): distance band, viewing
+    angle < 60 deg, predicted scale level, per-level search radius.
+    """
+    r = t_cw[:3, :3]
+    pc = pt_xyz @ r.T + t_cw[:3, 3]
+    z = pc[:, 2]
+    z_ok = z > 0.05
+    zs = jnp.where(z_ok, z, 1.0)
+    u = fx * pc[:, 0] / zs + cx
+    v = fy * pc[:, 1] / zs + cy
+    in_img = (u >= 0) & (u < width) & (v >= 0) & (v < height)
+
+    cam_center = -r.T @ t_cw[:3, 3]
+    po = pt_xyz - cam_center
+    dist = jnp.linalg.norm(po, axis=-1)
+    band = (dist >= 0.8 * pt_dmin) & (dist <= 1.2 * pt_dmax)
+    cos_view = jnp.sum(po * pt_normal, axis=-1) / jnp.maximum(
+        dist * jnp.linalg.norm(pt_normal, axis=-1), 1e-9
+    )
+    view_ok = cos_view > 0.5
+
+    pred_level = jnp.clip(
+        jnp.ceil(jnp.log(jnp.maximum(pt_dmax / jnp.maximum(dist, 1e-9), 1e-9)) / log_scale),
+        0, n_levels - 1,
+    ).astype(jnp.int32)
+    scale = jnp.exp(pred_level.astype(jnp.float32) * log_scale)
+    radius = radius_base * jnp.where(cos_view > 0.998, 0.7, 1.0) * scale
+
+    visible = pt_mask & z_ok & in_img & band & view_ok
+
+    # window + level gates (point-major (P, N))
+    duv = jnp.maximum(
+        jnp.abs(u[:, None] - feat_uv[None, :, 0]), jnp.abs(v[:, None] - feat_uv[None, :, 1])
+    )
+    lvl_ok = (feat_level[None, :] >= pred_level[:, None] - 1) & (
+        feat_level[None, :] <= pred_level[:, None] + 1
+    )
+    cand = visible[:, None] & (duv <= radius[:, None]) & lvl_ok & feat_valid[None, :]
+
+    d = matching.hamming_matrix(pt_desc, feat_desc)
+    d = jnp.where(cand, d, matching.BIG)
+    best_pt = jnp.argmin(d, axis=0).astype(jnp.int32)  # per feature
+    best_d = jnp.min(d, axis=0)
+    ok = (best_d <= max_dist) & feat_valid
+    return best_pt, best_d, ok, visible
+
+
+class Tracking:
+    def __init__(
+        self,
+        camera: Camera,
+        extractor,
+        world_map: Map,
+        local_mapper=None,
+        config: TrackingConfig | None = None,
+    ):
+        self.camera = camera
+        self.extractor = extractor
+        self.map = world_map
+        self.local_mapper = local_mapper
+        self.cfg = config or TrackingConfig()
+
+        self.state = TrackingState.NOT_INITIALIZED
+        self.last_frame: Frame | None = None
+        self.init_ref_frame: Frame | None = None
+        self.velocity: np.ndarray | None = None
+        self.ref_kf_id: int = -1
+        self.last_kf_frame_id: int = -1
+        self.frames_since_kf = 0
+        self.localization_only = False
+        self.trajectory: list[tuple[float, np.ndarray]] = []  # (timestamp, Tcw)
+        self.n_last_inliers = 0
+        self._init_seed = 0
+
+    # -- public entry ------------------------------------------------------
+
+    def track_frame(self, frame: Frame) -> TrackingState:
+        if self.state == TrackingState.NOT_INITIALIZED:
+            self._monocular_initialization(frame)
+        else:
+            ok = self._track_normal(frame)
+            if ok:
+                self.state = TrackingState.OK
+            else:
+                self.state = TrackingState.LOST
+        if self.last_frame is not None and frame is not self.last_frame:
+            pass
+        self.last_frame = frame
+        if self.state == TrackingState.OK:
+            self.trajectory.append((frame.timestamp, frame.t_cw.copy()))
+        return self.state
+
+    # -- initialization ----------------------------------------------------
+
+    def _monocular_initialization(self, frame: Frame):
+        cfg = self.cfg
+        if self.init_ref_frame is None:
+            if frame.n >= cfg.min_init_matches:
+                self.init_ref_frame = frame
+            return
+        ref = self.init_ref_frame
+        if frame.n < cfg.min_init_matches:
+            self.init_ref_frame = None
+            return
+
+        class _F:  # minimal FrameFeatures view for the matcher
+            pass
+
+        fa, fb = _F(), _F()
+        for obj, fr in ((fa, ref), (fb, frame)):
+            obj.uv = jnp.asarray(fr.uv_und)
+            obj.desc = jnp.asarray(fr.desc)
+            obj.level = jnp.asarray(fr.level)
+            obj.angle = jnp.asarray(fr.angle)
+            obj.valid = jnp.asarray(fr.valid)
+        idx, dist, ok = matching.search_for_initialization(fa, fb, window=100.0)
+        ok_np = np.asarray(ok)
+        if ok_np.sum() < cfg.min_init_matches:
+            self.init_ref_frame = frame
+            return
+
+        uv1 = np.where(ok_np[:, None], ref.uv_und, 0.0).astype(np.float32)
+        uv2 = frame.uv_und[np.asarray(idx)].astype(np.float32)
+        self._init_seed += 1
+        res = twoview.initialize_two_view(
+            jax.random.PRNGKey(self._init_seed),
+            jnp.asarray(uv1), jnp.asarray(uv2), jnp.asarray(ok_np),
+            jnp.asarray(self.camera.K),
+        )
+        if not bool(res.success):
+            return
+
+        # --- create initial map (reference CreateInitialMapMonocular :623) ---
+        t21 = np.array(res.t21)
+        pts = np.array(res.points)
+        tri_ok = np.asarray(res.is_triangulated)
+        med_depth = float(np.median(pts[tri_ok][:, 2]))
+        if med_depth <= 0:
+            return
+        pts = pts / med_depth
+        t21[:3, 3] /= med_depth
+
+        ref.set_pose(np.eye(4, dtype=np.float32))
+        frame.set_pose(t21)
+        kf1 = self.map.add_keyframe(ref)
+        kf2 = self.map.add_keyframe(frame)
+        self.map.origin_kf_id = kf1.kf_id
+
+        idx_np = np.asarray(idx)
+        for i in np.nonzero(tri_ok & ok_np)[0]:
+            pid = self.map.add_point(pts[i], ref.desc[i], kf1.kf_id)
+            self.map.add_observation(pid, kf1.kf_id, int(i))
+            self.map.add_observation(pid, kf2.kf_id, int(idx_np[i]))
+            frame.map_pt[idx_np[i]] = pid
+            ref.map_pt[i] = pid
+            self.map.update_point_descriptor(pid)
+            self.map.update_point_normal_depth(pid)
+        self.map.update_connections(kf1)
+        self.map.update_connections(kf2)
+
+        if self.local_mapper is not None:
+            self.local_mapper.initial_ba(kf1.kf_id, kf2.kf_id)
+
+        self.ref_kf_id = kf2.kf_id
+        self.last_kf_frame_id = frame.id
+        self.frames_since_kf = 0
+        self.velocity = frame.t_cw @ np.linalg.inv(ref.t_cw)
+        self.state = TrackingState.OK
+        self.init_ref_frame = None
+
+    # -- steady-state tracking --------------------------------------------
+
+    def _track_normal(self, frame: Frame) -> bool:
+        cfg = self.cfg
+        ok = False
+        if self.velocity is not None and self.state == TrackingState.OK:
+            ok = self._track_with_motion_model(frame)
+        if not ok and self.state == TrackingState.OK:
+            ok = self._track_reference_keyframe(frame)
+        if not ok and self.state == TrackingState.LOST:
+            ok = self._relocalize(frame)
+            if not ok:
+                return False
+        if not ok:
+            return False
+
+        ok = self._track_local_map(frame)
+        if not ok:
+            self.velocity = None
+            return False
+
+        # velocity model update (reference :467-502)
+        if self.last_frame is not None:
+            self.velocity = frame.t_cw @ np.linalg.inv(self.last_frame.t_cw)
+        self.frames_since_kf += 1
+
+        if not self.localization_only and self._need_new_keyframe(frame):
+            self._create_new_keyframe(frame)
+        return True
+
+    def _gather_points(self, pids: np.ndarray, cap: int):
+        """Pack map-point attributes for `pids` into fixed-cap device arrays."""
+        m = self.map
+        n = min(len(pids), cap)
+        pids = pids[:n]
+        xyz = np.zeros((cap, 3), np.float32)
+        desc = np.zeros((cap, 8), np.uint32)
+        normal = np.zeros((cap, 3), np.float32)
+        dmin = np.zeros(cap, np.float32)
+        dmax = np.full(cap, 1e9, np.float32)
+        mask = np.zeros(cap, bool)
+        xyz[:n] = m.pt_xyz[pids]
+        desc[:n] = m.pt_desc[pids]
+        normal[:n] = m.pt_normal[pids]
+        dmin[:n] = m.pt_dmin[pids]
+        dmax[:n] = m.pt_dmax[pids]
+        mask[:n] = True
+        slot_to_pid = np.full(cap, -1, np.int64)
+        slot_to_pid[:n] = pids
+        return xyz, desc, normal, dmin, dmax, mask, slot_to_pid
+
+    def _match_and_optimize(self, frame: Frame, pids, t_pred, radius, cap=LOCAL_POINT_CAP,
+                            max_dist=matching.TH_HIGH, keep_existing=False):
+        cfg = self.cfg
+        cam = self.camera
+        xyz, desc, normal, dmin, dmax, mask, slot_to_pid = self._gather_points(pids, cap)
+        best_pt, best_d, ok, visible = project_and_match(
+            jnp.asarray(xyz), jnp.asarray(desc), jnp.asarray(normal),
+            jnp.asarray(dmin), jnp.asarray(dmax), jnp.asarray(mask),
+            jnp.asarray(t_pred), jnp.asarray(frame.uv_und), jnp.asarray(frame.desc),
+            jnp.asarray(frame.level), jnp.asarray(frame.valid),
+            cam.fx, cam.fy, cam.cx, cam.cy, float(cam.width), float(cam.height),
+            float(radius), float(max_dist), float(np.log(cfg.scale_factor)), cfg.n_levels,
+        )
+        best_pt = np.asarray(best_pt)
+        ok = np.asarray(ok)
+
+        matched_pid = np.where(ok, slot_to_pid[best_pt], -1)
+        if keep_existing:
+            matched_pid = np.where(frame.map_pt >= 0, frame.map_pt, matched_pid)
+        frame.map_pt = matched_pid
+
+        # visibility counters (reference mnVisible, src/Tracking.cc:1302-1334)
+        vis_slots = np.asarray(visible)
+        vis_pids = slot_to_pid[np.nonzero(vis_slots)[0]]
+        self.map.pt_visible[vis_pids[vis_pids >= 0]] += 1
+
+        # pose optimization over matched points
+        matched = matched_pid >= 0
+        if matched.sum() < 3:
+            return 0, matched
+        pt_w = np.zeros((frame.capacity, 3), np.float32)
+        pt_w[matched] = self.map.pt_xyz[matched_pid[matched]]
+        obs = frame.stereo_obs()
+        res = optim.pose_optimization(
+            jnp.asarray(frame.t_cw), jnp.asarray(pt_w), jnp.asarray(obs),
+            jnp.asarray(matched), jnp.asarray(frame.inv_sigma2()),
+            cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+        )
+        frame.set_pose(np.asarray(res.t_cw))
+        inliers = np.asarray(res.inliers)
+        frame.map_pt = np.where(inliers, frame.map_pt, -1)
+        frame.is_outlier = matched & ~inliers
+        found_pids = frame.map_pt[frame.map_pt >= 0]
+        self.map.pt_found[found_pids] += 1
+        return int(res.n_inliers), inliers
+
+    def _track_with_motion_model(self, frame: Frame) -> bool:
+        # resolve replaced points in last frame (CheckReplacedInLastFrame :819)
+        lf = self.last_frame
+        for i in np.nonzero(lf.map_pt >= 0)[0]:
+            lf.map_pt[i] = self.map.resolve_replaced(int(lf.map_pt[i]))
+        pids = np.unique(lf.map_pt[lf.map_pt >= 0])
+        if len(pids) < 10:
+            return False
+        t_pred = (self.velocity @ lf.t_cw).astype(np.float32)
+        frame.set_pose(t_pred)
+        n, _ = self._match_and_optimize(
+            frame, pids, t_pred, self.cfg.motion_search_radius
+        )
+        return n >= self.cfg.min_track_inliers
+
+    def _track_reference_keyframe(self, frame: Frame) -> bool:
+        kf = self.map.keyframes.get(self.ref_kf_id)
+        if kf is None:
+            return False
+        pids = np.unique(kf.map_pt[kf.map_pt >= 0])
+        if len(pids) < 10:
+            return False
+        t_pred = (self.last_frame.t_cw if self.last_frame is not None else kf.t_cw)
+        frame.set_pose(t_pred.astype(np.float32))
+        # wider search: no motion prior (reference uses BoW matching here; a
+        # wide-window projection search fills the same role on device)
+        n, _ = self._match_and_optimize(frame, pids, frame.t_cw, radius=30.0)
+        return n >= self.cfg.min_track_inliers
+
+    def _relocalize(self, frame: Frame) -> bool:
+        if self.local_mapper is None or getattr(self.local_mapper, "relocalizer", None) is None:
+            return False
+        return self.local_mapper.relocalizer.relocalize(frame, self)
+
+    def _local_keyframes(self, frame: Frame, cap: int = 80) -> list[int]:
+        """Covisibility expansion around the frame's matched points
+        (UpdateLocalKeyFrames, src/Tracking.cc:1391)."""
+        counter: dict[int, int] = {}
+        for pid in frame.map_pt[frame.map_pt >= 0]:
+            for kf_id in self.map.obs.get(int(pid), {}):
+                counter[kf_id] = counter.get(kf_id, 0) + 1
+        if not counter:
+            return []
+        local = sorted(counter, key=lambda k: -counter[k])[:cap]
+        best = local[0]
+        extra = []
+        for kf_id in local[: cap // 2]:
+            kf = self.map.keyframes.get(kf_id)
+            if kf is None or kf.bad:
+                continue
+            extra.extend(kf.best_covisible(10))
+        seen = set(local)
+        for e in extra:
+            if e not in seen and len(local) < cap:
+                local.append(e)
+                seen.add(e)
+        self.ref_kf_id = best
+        return local
+
+    def _track_local_map(self, frame: Frame) -> bool:
+        local_kfs = self._local_keyframes(frame)
+        if not local_kfs:
+            return False
+        pids = self.map.points_seen_by(local_kfs)
+        if len(pids) == 0:
+            return False
+        n, _ = self._match_and_optimize(
+            frame, pids, frame.t_cw, self.cfg.localmap_search_radius,
+            max_dist=matching.TH_HIGH, keep_existing=True,
+        )
+        self.n_last_inliers = n
+        return n >= self.cfg.min_localmap_inliers
+
+    # -- keyframe policy ---------------------------------------------------
+
+    def _need_new_keyframe(self, frame: Frame) -> bool:
+        """Reference NeedNewKeyFrame (src/Tracking.cc:1088-1186), simplified to
+        the synchronous pipeline (mapper never rejects; queue bound handled by
+        the mapper itself)."""
+        cfg = self.cfg
+        kf = self.map.keyframes.get(self.ref_kf_id)
+        if kf is None:
+            return False
+        n_kfs = len(self.map.good_keyframes())
+        min_obs = 3 if n_kfs > 2 else 2
+        ref_matches = sum(
+            1 for pid in kf.map_pt[kf.map_pt >= 0]
+            if self.map.n_observations(int(pid)) >= min_obs
+        )
+        c1 = self.frames_since_kf >= cfg.max_frames_between_kf
+        c2 = (
+            self.n_last_inliers < ref_matches * cfg.kf_tracked_ratio
+            and self.n_last_inliers > 15
+        )
+        return (c1 or c2) and self.frames_since_kf >= cfg.min_frames_between_kf
+
+    def _create_new_keyframe(self, frame: Frame):
+        kf = self.map.add_keyframe(frame)
+        for i in np.nonzero(frame.map_pt >= 0)[0]:
+            pid = int(frame.map_pt[i])
+            if self.map.pt_valid[pid]:
+                self.map.add_observation(pid, kf.kf_id, int(i))
+                self.map.update_point_descriptor(pid)
+                self.map.update_point_normal_depth(pid)
+        self.map.update_connections(kf)
+        self.ref_kf_id = kf.kf_id
+        self.last_kf_frame_id = frame.id
+        self.frames_since_kf = 0
+        if self.local_mapper is not None:
+            self.local_mapper.insert_keyframe(kf.kf_id)

@@ -154,12 +154,15 @@ def search_for_initialization(
     max_dist: float = TH_LOW,
     ratio: float = 0.9,
     check_rotation: bool = True,
+    max_level: int = 1,
 ):
-    """Windowed level-0 matching between two frames for monocular map init
-    (SearchForInitialization, src/ORBmatcher.cc:539)."""
+    """Windowed fine-scale matching between two frames for monocular map init
+    (SearchForInitialization, src/ORBmatcher.cc:539). The reference restricts
+    to level 0 but extracts 2x features during init (src/Tracking.cc:126);
+    we instead admit levels <= max_level from the standard budget."""
     dist = hamming_matrix(feats_a.desc, feats_b.desc)
     m = window_mask(feats_a.uv, feats_b.uv, window)
-    m = m & (feats_a.level[:, None] == 0) & (feats_b.level[None, :] == 0)
+    m = m & (feats_a.level[:, None] <= max_level) & (feats_b.level[None, :] <= max_level)
     idx, d, ok = match_nn(
         dist, feats_a.valid, feats_b.valid, m, max_dist=max_dist, ratio=ratio, mutual=True
     )
