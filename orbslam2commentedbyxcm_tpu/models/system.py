@@ -94,7 +94,13 @@ class System:
         from orbslam2commentedbyxcm_tpu.ops.stereo import stereo_match_frame
 
         frame = self._make_frame(image_left, timestamp)
-        stereo_match_frame(frame, np.asarray(image_right, np.float32), self.extractor, self.camera)
+        left = np.asarray(image_left)
+        if left.ndim == 3:
+            left = left.mean(axis=-1)
+        stereo_match_frame(
+            frame, left.astype(np.float32), np.asarray(image_right, np.float32),
+            self.extractor, self.camera,
+        )
         state = self.tracking.track_frame(frame)
         return frame.t_cw.copy() if state == TrackingState.OK else None
 

@@ -145,7 +145,10 @@ class Tracking:
 
     def track_frame(self, frame: Frame) -> TrackingState:
         if self.state == TrackingState.NOT_INITIALIZED:
-            self._monocular_initialization(frame)
+            if np.any(frame.depth > 0):
+                self._stereo_initialization(frame)
+            else:
+                self._monocular_initialization(frame)
         else:
             ok = self._track_normal(frame)
             if ok:
@@ -236,6 +239,58 @@ class Tracking:
         self.velocity = frame.t_cw @ np.linalg.inv(ref.t_cw)
         self.state = TrackingState.OK
         self.init_ref_frame = None
+
+    def _backproject_feature(self, frame: Frame, i: int) -> np.ndarray:
+        """Feature i + depth -> world point (Frame::UnprojectStereo)."""
+        z = float(frame.depth[i])
+        u, v = frame.uv_und[i]
+        cam = self.camera
+        pc = np.array([(u - cam.cx) / cam.fx * z, (v - cam.cy) / cam.fy * z, z], np.float32)
+        t_wc = np.linalg.inv(frame.t_cw)
+        return t_wc[:3, :3] @ pc + t_wc[:3, 3]
+
+    def _stereo_initialization(self, frame: Frame):
+        """Direct depth unprojection init for stereo/RGB-D
+        (reference StereoInitialization, src/Tracking.cc:556-615)."""
+        if frame.n < self.cfg.min_init_matches:
+            return
+        frame.set_pose(np.eye(4, dtype=np.float32))
+        kf = self.map.add_keyframe(frame)
+        self.map.origin_kf_id = kf.kf_id
+        for i in np.nonzero((frame.depth > 0) & frame.valid)[0]:
+            pw = self._backproject_feature(frame, int(i))
+            pid = self.map.add_point(pw, frame.desc[i], kf.kf_id)
+            self.map.add_observation(pid, kf.kf_id, int(i))
+            frame.map_pt[i] = pid
+            self.map.update_point_normal_depth(pid)
+        self.map.update_connections(kf)
+        self.ref_kf_id = kf.kf_id
+        self.last_kf_frame_id = frame.id
+        self.frames_since_kf = 0
+        self.velocity = np.eye(4, dtype=np.float32)
+        self.state = TrackingState.OK
+
+    def _spawn_depth_points(self, frame: Frame, kf):
+        """Create close map points from depth at keyframe creation
+        (reference CreateNewKeyFrame, src/Tracking.cc:1219-1266: insert all
+        points closer than ThDepth, or the 100 closest)."""
+        cam = self.camera
+        th = self.cfg.depth_th * cam.b if cam.b > 0 else self.cfg.depth_th
+        cands = np.nonzero((frame.depth > 0) & frame.valid & (frame.map_pt < 0))[0]
+        if len(cands) == 0:
+            return
+        order = cands[np.argsort(frame.depth[cands])]
+        n_created = 0
+        for i in order:
+            if frame.depth[i] > th and n_created >= 100:
+                break
+            pw = self._backproject_feature(frame, int(i))
+            pid = self.map.add_point(pw, frame.desc[i], kf.kf_id)
+            self.map.pt_first_kf[pid] = kf.kf_id
+            self.map.add_observation(pid, kf.kf_id, int(i))
+            frame.map_pt[i] = pid
+            self.map.update_point_normal_depth(pid)
+            n_created += 1
 
     # -- steady-state tracking --------------------------------------------
 
@@ -438,6 +493,8 @@ class Tracking:
                 self.map.add_observation(pid, kf.kf_id, int(i))
                 self.map.update_point_descriptor(pid)
                 self.map.update_point_normal_depth(pid)
+        if np.any(frame.depth > 0):
+            self._spawn_depth_points(frame, kf)
         self.map.update_connections(kf)
         self.ref_kf_id = kf.kf_id
         self.last_kf_frame_id = frame.id

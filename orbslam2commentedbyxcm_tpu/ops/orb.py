@@ -12,8 +12,8 @@ batched, static-shape XLA program:
                                                 (rank, -score) global top-N —
                                                 same *purpose* (spatial
                                                 uniformity), vectorized
-  IC_Angle per keypoint (:59)                   two 31x31 moment convolutions
-                                                over the full image (MXU)
+  IC_Angle per keypoint (:59)                   batched 31x31 patch gather +
+                                                mask contraction at keypoints
   7x7 sigma=2 Gaussian blur (:1497)             separable depthwise conv
   computeOrbDescriptor (:118)                   one batched gather of N*512
                                                 rotated pattern samples
@@ -101,20 +101,23 @@ class FrameFeatures(NamedTuple):
 
 
 def _separable_blur(img: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
-    """Depthwise separable blur of a (H, W) image, replicate-padded."""
-    k = jnp.asarray(kernel, img.dtype)
+    """Depthwise separable blur of a (H, W) image, replicate-padded.
+
+    Implemented as explicit shift-multiply-adds: XLA's generic conv lowering is
+    ~100x slower than this on TPU for single-channel images (measured), while
+    shifted adds fuse into a couple of VPU loops.
+    """
     r = len(kernel) // 2
-    x = jnp.pad(img, ((r, r), (0, 0)), mode="edge")
-    x = jax.lax.conv_general_dilated(
-        x[None, None], k[None, None, :, None], (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0, 0]
-    x = jnp.pad(x, ((0, 0), (r, r)), mode="edge")
-    x = jax.lax.conv_general_dilated(
-        x[None, None], k[None, None, None, :], (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0, 0]
-    return x
+    h, w = img.shape
+    x = jnp.pad(img, ((0, 0), (r, r)), mode="edge")
+    acc = jnp.zeros_like(img)
+    for k in range(len(kernel)):
+        acc = acc + float(kernel[k]) * x[:, k : k + w]
+    x = jnp.pad(acc, ((r, r), (0, 0)), mode="edge")
+    acc = jnp.zeros_like(img)
+    for k in range(len(kernel)):
+        acc = acc + float(kernel[k]) * x[k : k + h, :]
+    return acc
 
 
 def _gauss_kernel(size: int = 7, sigma: float = 2.0) -> np.ndarray:
@@ -175,23 +178,29 @@ def _nms3(score: jnp.ndarray) -> jnp.ndarray:
 
 
 def _moment_kernels(radius: int = PATCH_RADIUS):
+    """Circular-mask x/y coordinate weights for IC_Angle patch moments."""
     mask = _circular_mask(radius)
     ys, xs = np.mgrid[-radius : radius + 1, -radius : radius + 1]
-    kx = (xs * mask).astype(np.float32)
-    ky = (ys * mask).astype(np.float32)
-    return kx, ky
+    return (xs * mask).astype(np.float32), (ys * mask).astype(np.float32)
 
 
-def _moment_maps(img: jnp.ndarray, kx: np.ndarray, ky: np.ndarray):
-    """Correlate image with x / y circular-moment kernels -> (m10, m01) maps."""
-    k = jnp.stack([jnp.asarray(kx), jnp.asarray(ky)])[:, None]  # (2,1,S,S)
-    # lax.conv computes correlation with OIHW kernels and flipped... it computes
-    # true convolution; flip kernels to get correlation. kx is odd-symmetric.
-    k = k[:, :, ::-1, ::-1]
-    out = jax.lax.conv_general_dilated(
-        img[None, None], k, (1, 1), "SAME", dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0]
-    return out[0], out[1]
+def _keypoint_angles(padded: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray,
+                     kx: np.ndarray, ky: np.ndarray) -> jnp.ndarray:
+    """IC_Angle at keypoints only (reference src/ORBextractor.cc:59-117).
+
+    Dense moment maps cost milliseconds per level on TPU; gathering one
+    31x31 patch per *selected* keypoint (a few hundred) and contracting with
+    the circular-mask coordinate weights is microseconds and exact.
+    `padded` must have >= PATCH_RADIUS margin around (px, py).
+    """
+    r = kx.shape[0] // 2
+    dy = jnp.arange(-r, r + 1)
+    patches = padded[
+        py[:, None, None] + dy[None, :, None], px[:, None, None] + dy[None, None, :]
+    ]  # (N, 31, 31)
+    m10 = jnp.einsum("nij,ij->n", patches, jnp.asarray(kx))
+    m01 = jnp.einsum("nij,ij->n", patches, jnp.asarray(ky))
+    return jnp.arctan2(m01, m10)
 
 
 class ORBExtractor:
@@ -211,6 +220,7 @@ class ORBExtractor:
         min_th_fast: float = 7.0,
         cell_size: int = 32,
         per_cell_k: int = 4,
+        use_pallas: bool | None = None,
     ):
         self.n_features = n_features
         self.scale_factor = scale_factor
@@ -219,6 +229,12 @@ class ORBExtractor:
         self.min_th = float(min_th_fast)
         self.cell_size = cell_size
         self.per_cell_k = per_cell_k
+        # Fused Pallas frontend on TPU; pure-XLA fallback elsewhere.
+        if use_pallas is None:
+            import jax as _jax
+
+            use_pallas = _jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
 
         self.scales = [scale_factor**l for l in range(n_levels)]
         # Geometric per-level budgets (reference src/ORBextractor.cc:485-500).
@@ -236,7 +252,17 @@ class ORBExtractor:
         # measured much more stable than the reference's sigma=2 raw-image
         # moments under subpixel keypoint jitter (f0-f1 matches 56 -> 91).
         self._blur = _gauss_kernel(9, 3.0)
-        self._jitted = {}
+
+    # One compiled program per (config, image shape) across ALL extractor
+    # instances — repeated identical compiles waste minutes and have crashed
+    # the XLA CPU backend in long test sessions.
+    _jit_cache: dict = {}
+
+    def _config_key(self):
+        return (
+            self.n_features, self.scale_factor, self.n_levels, self.ini_th,
+            self.min_th, self.cell_size, self.per_cell_k, self.use_pallas,
+        )
 
     def __call__(self, image) -> FrameFeatures:
         """image: (H, W) uint8/float32 numpy or jax array -> FrameFeatures."""
@@ -244,9 +270,12 @@ class ORBExtractor:
         if img.dtype == jnp.uint8:
             img = img.astype(jnp.float32)
         shape = tuple(img.shape)
-        if shape not in self._jitted:
-            self._jitted[shape] = jax.jit(functools.partial(self._extract, shape=shape))
-        return self._jitted[shape](img)
+        key = (self._config_key(), shape)
+        fn = ORBExtractor._jit_cache.get(key)
+        if fn is None:
+            fn = jax.jit(functools.partial(self._extract, shape=shape))
+            ORBExtractor._jit_cache[key] = fn
+        return fn(img)
 
     # -- pipeline ----------------------------------------------------------
 
@@ -276,7 +305,14 @@ class ORBExtractor:
                 z((0, 2), jnp.float32), z((0,), jnp.float32), z((0,), jnp.float32),
                 z((0,), jnp.int32), z((0, 8), jnp.uint32), z((0,), bool),
             )
-        s_hi, s_lo, _ = _fast_maps(img, self.ini_th, self.min_th)
+        if self.use_pallas:
+            from orbslam2commentedbyxcm_tpu.ops.pallas_frontend import fused_frontend
+
+            blurred, nms_hi, nms_lo = fused_frontend(img, self.ini_th, self.min_th)
+        else:
+            blurred = _separable_blur(img, self._blur)
+            s_hi, s_lo, _ = _fast_maps(img, self.ini_th, self.min_th)
+            nms_hi, nms_lo = _nms3(s_hi), _nms3(s_lo)
 
         # Border exclusion: descriptors/orientation need EDGE margin.
         ys = jax.lax.broadcasted_iota(jnp.int32, (hl, wl), 0)
@@ -285,8 +321,8 @@ class ORBExtractor:
         inbounds = (
             (ys >= margin) & (ys < hl - margin) & (xs >= margin) & (xs < wl - margin)
         )
-        s_hi = jnp.where(inbounds, s_hi, 0.0)
-        s_lo = jnp.where(inbounds, s_lo, 0.0)
+        nms_hi = jnp.where(inbounds, nms_hi, 0.0)
+        nms_lo = jnp.where(inbounds, nms_lo, 0.0)
 
         # Per-cell threshold fallback (reference: retry cell with minTh when the
         # strict threshold finds nothing, src/ORBextractor.cc:1084-1105).
@@ -298,8 +334,8 @@ class ORBExtractor:
             m = jnp.pad(m, ((0, ph - hl), (0, pw - wl)))
             return m.reshape(cy, cs, cx, cs).transpose(0, 2, 1, 3).reshape(cy, cx, cs * cs)
 
-        cells_hi = to_cells(_nms3(s_hi))
-        cells_lo = to_cells(_nms3(s_lo))
+        cells_hi = to_cells(nms_hi)
+        cells_lo = to_cells(nms_lo)
         has_hi = jnp.any(cells_hi > 0, axis=-1, keepdims=True)
         cells = jnp.where(has_hi, cells_hi, cells_lo)
 
@@ -327,15 +363,10 @@ class ORBExtractor:
         px = cell_x * cs + inner % cs
         response = top_vals.reshape(-1)[sel]
 
-        # One blur serves both orientation moments and descriptor sampling.
-        blurred = _separable_blur(img, self._blur)
-
-        # Orientation from moment maps (IC_Angle equivalent, on blurred image
-        # for stability under subpixel keypoint jitter).
-        m10, m01 = _moment_maps(blurred, self._kx, self._ky)
-        angle = jnp.arctan2(m01[py, px], m10[py, px])
-
+        # One blur serves both orientation moments and descriptor sampling
+        # (blurred moments are markedly more stable under subpixel jitter).
         padded = jnp.pad(blurred, EDGE_PAD, mode="reflect")
+        angle = _keypoint_angles(padded, px + EDGE_PAD, py + EDGE_PAD, self._kx, self._ky)
         desc = self._descriptors(padded, px + EDGE_PAD, py + EDGE_PAD, angle, wl + 2 * EDGE_PAD)
 
         scale = jnp.float32(self.scales[lvl])

@@ -1,0 +1,154 @@
+"""Pallas fused dense-frontend kernel: Gaussian blur + dual-threshold FAST-9 +
+3x3 NMS in a single VMEM pass over row tiles.
+
+The XLA lowering of this stage materializes every intermediate ((16, H, W)
+ring stacks, blur passes, pooled maps) to HBM — measured ~3.2 ms per 640x480
+level where the memory-bound roof is ~30 us. This kernel DMAs one overlapping
+row window (tile + 2*PAD halo) from HBM to VMEM per grid step and keeps the
+whole computation in vector registers: the FAST arc test runs as one fused
+loop over the 24 wrapped ring positions maintaining run-length counters for
+both thresholds simultaneously (instead of 2x16 materialized flag planes,
+which blew the VMEM stack).
+
+Semantics match ops/orb._separable_blur + _fast_maps + _nms3 on the interior
+(border handling differs inside the excluded margin); ORBExtractor uses this
+kernel on TPU and keeps the XLA path as fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from orbslam2commentedbyxcm_tpu.ops.orb import _RING, ARC_LEN, _gauss_kernel
+
+_PAD = 8  # blur radius 4 + FAST ring 3 + NMS 1
+
+
+def _shift(x, dy, dx):
+    """out[i, j] = x[i + dy, j + dx] (circular; borders are masked upstream)."""
+    out = x
+    if dy:
+        out = pltpu.roll(out, (-dy) % out.shape[0], axis=0)
+    if dx:
+        out = pltpu.roll(out, (-dx) % out.shape[1], axis=1)
+    return out
+
+
+def _kernel(
+    img_hbm, blur_ref, shi_ref, slo_ref, scratch, sem,
+    *, taps, th_hi, th_lo, tile_h, height, width,
+):
+    i = pl.program_id(0)
+    win = tile_h + 2 * _PAD
+    cp = pltpu.make_async_copy(img_hbm.at[pl.ds(i * tile_h, win)], scratch, sem)
+    cp.start()
+    cp.wait()
+    x = scratch[:]
+    r = len(taps) // 2
+
+    # --- separable Gaussian blur -----------------------------------------
+    acc = jnp.zeros_like(x)
+    for k in range(len(taps)):
+        acc = acc + float(taps[k]) * _shift(x, 0, k - r)
+    bl = jnp.zeros_like(x)
+    for k in range(len(taps)):
+        bl = bl + float(taps[k]) * _shift(acc, k - r, 0)
+    blur_ref[:] = bl[_PAD : _PAD + tile_h, :]
+
+    # --- FAST-9, both thresholds, single fused ring loop ------------------
+    # run-length counters over the 16+8 wrapped circular positions
+    zi = jnp.zeros(x.shape, jnp.int32)
+    zf = jnp.zeros_like(x)
+    run = [zi, zi, zi, zi]     # bright_hi, dark_hi, bright_lo, dark_lo
+    best = [zi, zi, zi, zi]
+    sums = [zf, zf, zf, zf]    # sb_hi, sd_hi, sb_lo, sd_lo
+    ring_ext = [_RING[k % 16] for k in range(16 + ARC_LEN - 1)]
+    for k, (dx, dy) in enumerate(ring_ext):
+        up = _shift(x, int(dy), int(dx)) - x
+        flags = [
+            (up > th_hi).astype(jnp.int32),
+            (-up > th_hi).astype(jnp.int32),
+            (up > th_lo).astype(jnp.int32),
+            (-up > th_lo).astype(jnp.int32),
+        ]
+        for j in range(4):
+            run[j] = (run[j] + flags[j]) * flags[j]
+            best[j] = jnp.maximum(best[j], run[j])
+        if k < 16:  # scores sum each ring pixel exactly once
+            sums[0] = sums[0] + jnp.maximum(up - th_hi, 0.0)
+            sums[1] = sums[1] + jnp.maximum(-up - th_hi, 0.0)
+            sums[2] = sums[2] + jnp.maximum(up - th_lo, 0.0)
+            sums[3] = sums[3] + jnp.maximum(-up - th_lo, 0.0)
+
+    def score_of(jb, jd):
+        return jnp.maximum(
+            jnp.where(best[jb] >= ARC_LEN, sums[jb], 0.0),
+            jnp.where(best[jd] >= ARC_LEN, sums[jd], 0.0),
+        )
+
+    s_hi = score_of(0, 1)
+    s_lo = score_of(2, 3)
+    corner_hi = s_hi > 0.0
+    corner_lo = s_lo > 0.0
+
+    # interior mask in full-image coordinates
+    rows = i * tile_h - _PAD + jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) - _PAD
+    interior = (rows >= 3) & (rows < height - 3) & (cols >= 3) & (cols < width - 3)
+    s_hi = jnp.where(corner_hi & interior, s_hi, 0.0)
+    s_lo = jnp.where(corner_lo & interior, s_lo, 0.0)
+
+    def nms(s):
+        m = s
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy or dx:
+                    m = jnp.maximum(m, _shift(s, dy, dx))
+        return jnp.where((s >= m) & (s > 0.0), s, 0.0)
+
+    shi_ref[:] = nms(s_hi)[_PAD : _PAD + tile_h, :]
+    slo_ref[:] = nms(s_lo)[_PAD : _PAD + tile_h, :]
+
+
+@functools.partial(jax.jit, static_argnames=("th_hi", "th_lo", "tile_h", "interpret"))
+def fused_frontend(
+    img: jnp.ndarray, th_hi: float, th_lo: float, tile_h: int = 64, interpret: bool = False
+):
+    """(H, W) image -> (blurred, nms_score_hi, nms_score_lo), each (H, W)."""
+    h, w = img.shape
+    taps = _gauss_kernel(9, 3.0)
+    n_tiles = -(-h // tile_h)
+    # rows: _PAD halo on top, bottom padded to n_tiles*tile_h + _PAD
+    # cols: _PAD left + right-pad to a 128-lane multiple (DMA slice alignment)
+    wp = -(-(w + 2 * _PAD) // 128) * 128
+    img_p = jnp.pad(
+        img, ((_PAD, n_tiles * tile_h - h + _PAD), (_PAD, wp - w - _PAD)), mode="edge"
+    )
+
+    kernel = functools.partial(
+        _kernel, taps=taps, th_hi=th_hi, th_lo=th_lo, tile_h=tile_h,
+        height=h, width=w,
+    )
+    blur, s_hi, s_lo = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((tile_h, wp), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            for _ in range(3)
+        ],
+        out_shape=[jax.ShapeDtypeStruct((n_tiles * tile_h, wp), jnp.float32)] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((tile_h + 2 * _PAD, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(img_p)
+    sl = slice(0, h), slice(_PAD, _PAD + w)
+    return blur[sl], s_hi[sl], s_lo[sl]

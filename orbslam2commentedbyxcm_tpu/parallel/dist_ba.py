@@ -1,0 +1,240 @@
+"""Distributed bundle adjustment: landmark-sharded Schur complement over a mesh.
+
+The reference's global BA is a single-threaded sparse Cholesky (g2o
+BlockSolver + LinearSolverEigen, Thirdparty/g2o/g2o/core/block_solver.hpp).
+Here the map scales across devices instead (SURVEY.md §2.3 / §7 and
+BASELINE.json configs[4]):
+
+  * LANDMARKS (and each landmark's observation edges) are sharded across the
+    mesh 'data' axis — a landmark's 3x3 Hessian block and its Schur
+    contribution are computed entirely on its home device;
+  * the reduced camera system S = Hcc - W Hpp^-1 W^T and gradient are formed
+    per-shard and combined with one psum (rides ICI);
+  * the dense 6K x 6K pose solve is replicated (poses are the small axis);
+  * landmark updates back-substitute locally — no communication.
+
+Communication per LM iteration: one psum of (K*6)^2 + K*6 floats. With K~1000
+poses that is ~144 MB in f32 — the caller is expected to window poses (local
+BA) or accept the cost for global BA; a reduce-scatter pose-sharded variant is
+the planned next step for pod-scale maps.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from orbslam2commentedbyxcm_tpu.ops.optim import (
+    CHI2_MONO,
+    CHI2_STEREO,
+    _chi2,
+    _huber_weight,
+    _project_residual_jacobian,
+)
+from orbslam2commentedbyxcm_tpu.utils.geometry import se3_exp
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def shard_ba_problem(
+    points: np.ndarray,
+    point_valid: np.ndarray,
+    obs_pose: np.ndarray,
+    obs_point: np.ndarray,
+    obs_uvr: np.ndarray,
+    obs_mask: np.ndarray,
+    inv_sigma2: np.ndarray,
+    n_shards: int,
+):
+    """Host-side partitioner: round-robin points to shards, edges follow their
+    point. Returns arrays reshaped to (n_shards, ...) with LOCAL point indices.
+    """
+    p = len(points)
+    shard_of_point = np.arange(p) % n_shards
+    local_idx = np.arange(p) // n_shards
+    p_shard = -(-p // n_shards)
+
+    pts_sh = np.zeros((n_shards, p_shard, 3), np.float32)
+    pv_sh = np.zeros((n_shards, p_shard), bool)
+    # global slot of each (shard, local) for scatter-back
+    gidx_sh = np.zeros((n_shards, p_shard), np.int64)
+    for s in range(n_shards):
+        sel = np.nonzero(shard_of_point == s)[0]
+        pts_sh[s, : len(sel)] = points[sel]
+        pv_sh[s, : len(sel)] = point_valid[sel]
+        gidx_sh[s, : len(sel)] = sel
+
+    e_counts = np.bincount(shard_of_point[obs_point], minlength=n_shards)
+    e_shard = max(int(e_counts.max()), 1)
+    op_sh = np.zeros((n_shards, e_shard), np.int32)
+    opt_sh = np.zeros((n_shards, e_shard), np.int32)
+    ouv_sh = np.zeros((n_shards, e_shard, 3), np.float32)
+    ouv_sh[..., 2] = -1.0
+    om_sh = np.zeros((n_shards, e_shard), bool)
+    osig_sh = np.ones((n_shards, e_shard), np.float32)
+    fill = np.zeros(n_shards, int)
+    for e in range(len(obs_pose)):
+        s = shard_of_point[obs_point[e]]
+        j = fill[s]
+        op_sh[s, j] = obs_pose[e]
+        opt_sh[s, j] = local_idx[obs_point[e]]
+        ouv_sh[s, j] = obs_uvr[e]
+        om_sh[s, j] = obs_mask[e]
+        osig_sh[s, j] = inv_sigma2[e]
+        fill[s] += 1
+    return pts_sh, pv_sh, gidx_sh, op_sh, opt_sh, ouv_sh, om_sh, osig_sh
+
+
+def distributed_bundle_adjustment(
+    mesh: Mesh,
+    poses: jnp.ndarray,         # (K, 4, 4) replicated
+    pose_fixed: jnp.ndarray,    # (K,) bool
+    pts_sh, pv_sh,              # (D, Ps, 3), (D, Ps) sharded over 'data'
+    op_sh, opt_sh, ouv_sh, om_sh, osig_sh,  # (D, Es, ...) sharded
+    fx, fy, cx, cy, bf,
+    n_iters: int = 10,
+    use_huber: bool = True,
+):
+    """One BA solve over the mesh. Returns (poses, pts_sh, cost)."""
+    axis = mesh.axis_names[0]
+    k_poses = poses.shape[0]
+    free_pose = ~pose_fixed
+
+    def shard_fn(poses, pose_fixed, pts, pv, op, opt_, ouv, om, osig):
+        # all args here are the per-device blocks (leading D dim stripped)
+        pts, pv = pts[0], pv[0]
+        op, opt_, ouv, om, osig = op[0], opt_[0], ouv[0], om[0], osig[0]
+        p_pts = pts.shape[0]
+        stereo_all = ouv[..., 2] >= 0
+        delta2 = jnp.where(stereo_all, CHI2_STEREO, CHI2_MONO)
+        fp = (~pose_fixed).astype(jnp.float32)
+        active0 = (om & pv[opt_]).astype(jnp.float32)
+
+        def edge_terms(poses_, pts_):
+            t_e = poses_[op]
+            p_e = pts_[opt_]
+            r, j_pose, j_point, pc, stereo = _project_residual_jacobian(
+                t_e, p_e, ouv, fx, fy, cx, cy, bf
+            )
+            c2 = _chi2(r, osig, stereo)
+            behind = pc[..., 2] <= 0
+            w = osig * active0 * (~behind).astype(jnp.float32)
+            if use_huber:
+                w = w * _huber_weight(c2, delta2)
+            c2_eff = jnp.where(behind, 1e6, c2)
+            return r, j_pose, j_point, w, c2_eff
+
+        def cost(poses_, pts_):
+            _, _, _, _, c2 = edge_terms(poses_, pts_)
+            if use_huber:
+                d = jnp.sqrt(delta2)
+                e = jnp.sqrt(jnp.maximum(c2, 1e-12))
+                rho = jnp.where(c2 <= delta2, c2, 2.0 * d * e - delta2)
+            else:
+                rho = c2
+            return jax.lax.psum(jnp.sum(rho * active0), axis)
+
+        def lm_step(carry):
+            poses_, pts_, lam, err = carry
+            r, j_pose, j_point, w, _ = edge_terms(poses_, pts_)
+            j_pose = j_pose * fp[op][..., None, None]
+            jw_pose = j_pose * w[..., None, None]
+            jw_point = j_point * w[..., None, None]
+
+            hcc = jax.ops.segment_sum(
+                jnp.einsum("eij,eik->ejk", jw_pose, j_pose, precision="highest"),
+                op, num_segments=k_poses,
+            )
+            hpp = jax.ops.segment_sum(
+                jnp.einsum("eij,eik->ejk", jw_point, j_point, precision="highest"),
+                opt_, num_segments=p_pts,
+            )
+            g_c = jax.ops.segment_sum(
+                jnp.einsum("eij,ei->ej", jw_pose, r, precision="highest"),
+                op, num_segments=k_poses,
+            )
+            g_p = jax.ops.segment_sum(
+                jnp.einsum("eij,ei->ej", jw_point, r, precision="highest"),
+                opt_, num_segments=p_pts,
+            )
+            w_blk = jnp.einsum("eij,eik->ejk", jw_pose, j_point, precision="highest")
+            flat_idx = op * p_pts + opt_
+            w_cp = (
+                jnp.zeros((k_poses * p_pts, 6, 3))
+                .at[flat_idx]
+                .add(w_blk)
+                .reshape(k_poses, p_pts, 6, 3)
+            )
+            hpp_d = hpp + lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(hpp)) + 1e-6 * jnp.eye(3)
+            hpp_inv = jnp.where(pv[:, None, None], jnp.linalg.inv(hpp_d), 0.0)
+
+            y = jnp.einsum("kpab,pbc->kpac", w_cp, hpp_inv, precision="highest")
+            s_part = -jnp.einsum("kpab,lpcb->kalc", y, w_cp, precision="highest")
+            g_s_part = g_c - jnp.einsum("kpab,pb->ka", y, g_p, precision="highest")
+            hcc_part = hcc
+
+            # ---- the one collective: reduce the camera system over shards ----
+            s_red = jax.lax.psum(s_part, axis)
+            hcc_red = jax.lax.psum(hcc_part, axis)
+            g_s = jax.lax.psum(g_s_part, axis)
+
+            hcc_lm = hcc_red + lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(hcc_red))
+            s = s_red.at[jnp.arange(k_poses), :, jnp.arange(k_poses), :].add(hcc_lm)
+            s = s * fp[:, None, None, None] * fp[None, None, :, None]
+            s = s.at[jnp.arange(k_poses), :, jnp.arange(k_poses), :].add(
+                (1.0 - fp)[:, None, None] * jnp.eye(6)
+            )
+            s_mat = s.reshape(k_poses * 6, k_poses * 6) + 1e-8 * jnp.eye(k_poses * 6)
+            dx_c = -jnp.linalg.solve(s_mat, g_s.reshape(-1)).reshape(k_poses, 6)
+            dx_c = dx_c * fp[:, None]
+
+            rhs_p = -g_p - jnp.einsum("kpab,ka->pb", w_cp, dx_c, precision="highest")
+            dx_p = jnp.einsum("pab,pb->pa", hpp_inv, rhs_p, precision="highest")
+            dx_p = jnp.where(pv[:, None], dx_p, 0.0)
+
+            poses_new = jnp.where(
+                (~pose_fixed)[:, None, None], jax.vmap(se3_exp)(dx_c) @ poses_, poses_
+            )
+            pts_new = pts_ + dx_p
+            err_new = cost(poses_new, pts_new)
+            accept = err_new < err
+            poses_ = jnp.where(accept, poses_new, poses_)
+            pts_ = jnp.where(accept, pts_new, pts_)
+            lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-8, 1e6)
+            err = jnp.where(accept, err_new, err)
+            return poses_, pts_, lam, err
+
+        err0 = cost(poses, pts)
+        carry = (poses, pts, jnp.float32(1e-4), err0)
+        carry = jax.lax.fori_loop(0, n_iters, lambda i, c: lm_step(c), carry)
+        poses_out, pts_out, _, err = carry
+        return poses_out, pts_out[None], err
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    sharded = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(), P(),                      # poses, pose_fixed replicated
+            P(axis), P(axis),              # points, validity sharded
+            P(axis), P(axis), P(axis), P(axis), P(axis),  # edges sharded
+        ),
+        out_specs=(P(), P(axis), P()),
+        check_vma=False,
+    )
+    return sharded(
+        poses, pose_fixed, pts_sh, pv_sh, op_sh, opt_sh, ouv_sh, om_sh, osig_sh
+    )

@@ -76,9 +76,19 @@ class SyntheticSequence:
 
     def render(self, i: int) -> np.ndarray:
         """Render frame i by warping each plane texture with its homography."""
+        return self.render_pose(self.pose(i))
+
+    def render_right(self, i: int) -> np.ndarray:
+        """Right-stereo view: camera displaced by baseline b along +x."""
+        t_rl = np.eye(4, dtype=np.float64)
+        t_rl[0, 3] = -self.camera.b
+        return self.render_pose(t_rl @ self.pose(i).astype(np.float64))
+
+    def render_pose(self, t_cw: np.ndarray) -> np.ndarray:
+        """Render from an arbitrary Tcw."""
         cam = self.camera
         k = cam.K.astype(np.float64)
-        t_cw = self.pose(i).astype(np.float64)
+        t_cw = np.asarray(t_cw, np.float64)
         r, t = t_cw[:3, :3], t_cw[:3, 3]
         img = np.zeros((cam.height, cam.width), np.float32)
         # far-to-near compositing

@@ -1,0 +1,101 @@
+"""End-to-end stereo and RGB-D SLAM on synthetic sequences (true scale)."""
+
+import numpy as np
+import pytest
+
+from orbslam2commentedbyxcm_tpu.models.system import System, Sensor
+from orbslam2commentedbyxcm_tpu.models.tracking import TrackingConfig
+from orbslam2commentedbyxcm_tpu.utils.camera import Camera
+from orbslam2commentedbyxcm_tpu.utils.evaluation import ate_rmse, positions_from_tcw
+from orbslam2commentedbyxcm_tpu.utils.synth import SyntheticSequence
+
+N_FRAMES = 20
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compiler_state():
+    """XLA:CPU segfaults compiling new programs after the accumulated cache of
+    a long session (reproducible: mono + rgbd suites, then one more stereo
+    compile). Dropping live executables before this module avoids it."""
+    import jax
+
+    jax.clear_caches()
+    from orbslam2commentedbyxcm_tpu.ops.orb import ORBExtractor
+
+    ORBExtractor._jit_cache.clear()
+    yield
+
+
+def small_camera():
+    return Camera(fx=250.0, fy=250.0, cx=160.0, cy=120.0, width=320, height=240,
+                  bf=25.0, th_depth=40.0)
+
+
+def run_system(sensor):
+    cam = small_camera()
+    seq = SyntheticSequence(camera=cam, n_frames=N_FRAMES, trajectory="sideways")
+    cfg = TrackingConfig(n_features=600, max_frames_between_kf=6)
+    system = System(cam, sensor, config=cfg, enable_loop_closing=False)
+    results = []
+    for i in range(seq.n_frames):
+        img = seq.render(i)
+        if sensor == Sensor.RGBD:
+            pose = system.track_rgbd(img, seq.depth_map(i), i / 30.0)
+        else:
+            pose = system.track_stereo(img, seq.render_right(i), i / 30.0)
+        results.append(pose)
+    return seq, system, results
+
+
+@pytest.fixture(scope="module")
+def rgbd_run():
+    return run_system(Sensor.RGBD)
+
+
+@pytest.fixture(scope="module")
+def stereo_run():
+    return run_system(Sensor.STEREO)
+
+
+def _check(seq, system, results, ate_gate):
+    tracked = [i for i, p in enumerate(results) if p is not None]
+    # depth init is instant: first frame should already track
+    assert len(tracked) >= seq.n_frames - 2, f"tracked {len(tracked)}/{seq.n_frames}"
+    est = np.stack([results[i] for i in tracked])
+    gt = np.stack([seq.pose(i) for i in tracked])
+    # true scale: SE3 alignment (no scale) — checks absolute metric accuracy
+    ate = ate_rmse(positions_from_tcw(est), positions_from_tcw(gt), with_scale=False)
+    assert ate < ate_gate, f"ATE RMSE {ate:.4f} m"
+    return ate
+
+
+def test_rgbd_tracks_with_true_scale(rgbd_run):
+    _check(*rgbd_run, ate_gate=0.08)
+
+
+def test_rgbd_map_has_depth_points(rgbd_run):
+    seq, system, _ = rgbd_run
+    assert system.map.n_valid_points() > 150
+    z = system.map.pt_xyz[system.map.all_point_ids()][:, 2]
+    # two synthetic planes at 6m and 10m -> depths must span both
+    assert (np.abs(z - 0) < 20).all()
+
+
+def test_stereo_tracks_with_true_scale(stereo_run):
+    _check(*stereo_run, ate_gate=0.10)
+
+
+def test_stereo_disparity_accuracy(stereo_run):
+    """Spot-check stereo depths against the exact synthetic depth map."""
+    seq, system, _ = stereo_run
+    kfs = system.map.good_keyframes()
+    kf = kfs[0]
+    d_gt = seq.depth_map(0)
+    have = np.nonzero(kf.depth > 0)[0]
+    assert len(have) > 100, f"only {len(have)} stereo depths"
+    uv = kf.uv[have]
+    z_gt = d_gt[np.clip(uv[:, 1].astype(int), 0, 239), np.clip(uv[:, 0].astype(int), 0, 319)]
+    rel = np.abs(kf.depth[have] - z_gt) / z_gt
+    # disparity at bf=25, z=6-10m is only 2.5-4.2px, so relative depth error
+    # z/bf * sigma_disp means 10% median ~ 0.3px disparity precision.
+    assert np.median(rel) < 0.10, f"median relative depth error {np.median(rel):.3f}"
