@@ -1,0 +1,425 @@
+"""Loop closing: detection, Sim3 computation, correction, pose graph, GBA.
+
+Reference pipeline (src/LoopClosing.cc):
+  DetectLoop (:101)        — BoW candidates gated by min covisible score and
+                             3-consecutive-group consistency
+  ComputeSim3 (:236)       — per candidate: descriptor matching + Sim3 RANSAC
+                             (Horn) + g2o Sim3 refine (>=20 inliers), then a
+                             Sim3-guided projection search (>=40 matches)
+  CorrectLoop (:448)       — Sim3 propagation to the covisible group, point
+                             remap + fuse, essential-graph optimization,
+                             global BA
+
+Device compute: ops/sim3solver (batched Horn RANSAC), ops/posegraph
+(autodiff Sim3 pose graph + two-frame refine), ops/optim (global BA),
+ops/matching (all Hamming). Host: group bookkeeping and graph edges.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orbslam2commentedbyxcm_tpu.models.frame import KeyFrame
+from orbslam2commentedbyxcm_tpu.ops import bow, matching, optim, posegraph, sim3solver
+from orbslam2commentedbyxcm_tpu.utils import geometry as geo
+from orbslam2commentedbyxcm_tpu.utils.bucketing import bucket, pad_mask, pad_rows
+
+
+class LoopClosing:
+    def __init__(self, world_map, camera, keyframe_db=None, vocabulary=None,
+                 fix_scale: bool = False, covisibility_consistency_th: int = 3):
+        self.map = world_map
+        self.camera = camera
+        self.db = keyframe_db
+        self.voc = vocabulary
+        self.fix_scale = fix_scale
+        self.consistency_th = covisibility_consistency_th
+        self.prev_consistent_groups: list[tuple[set, int]] = []
+        self.last_loop_kf_id = -1
+        self.n_loops_closed = 0
+        self.stats = {"db_candidates": 0, "consistent": 0, "sim3_tried": 0,
+                      "sim3_ok": 0, "guided_fail": 0}
+        self._key = jax.random.PRNGKey(13)
+        self.run_global_ba = True
+
+    # -- entry -------------------------------------------------------------
+
+    def insert_keyframe(self, kf_id: int):
+        kf = self.map.keyframes.get(kf_id)
+        if kf is None or self.voc is None or self.db is None:
+            return
+        # BoW for the new KF
+        words, groups, weights = bow.transform(self.voc, kf.desc, kf.valid)
+        ids, vals = bow.bow_vector(words, weights, self.voc.n_words)
+        kf.bow_vec = (ids, vals)
+        kf.bow_feat_nodes = groups
+
+        candidates = self._detect_loop(kf)
+        if candidates:
+            ok, loop_kf_id, s_cur_corr, loop_pids = self._compute_sim3(kf, candidates)
+            if ok:
+                self._correct_loop(kf, loop_kf_id, s_cur_corr, loop_pids)
+        self.db.add(kf_id, ids, vals)
+
+    # -- detection ---------------------------------------------------------
+
+    def _detect_loop(self, kf: KeyFrame) -> list[int]:
+        # too close to the last loop or map too small (reference :108-115)
+        if kf.kf_id < self.last_loop_kf_id + 10 or len(self.map.keyframes) < 10:
+            return []
+        # min score against covisible keyframes
+        min_score = 1.0
+        for nb in kf.best_covisible():
+            s = self.db.score_vec(kf.bow_vec, nb)
+            min_score = min(min_score, s)
+        connected = set(kf.covis) | {kf.kf_id}
+        cands = self.db.detect_loop_candidates(
+            kf.kf_id, kf.bow_vec[0], kf.bow_vec[1], min_score, connected, self.map
+        )
+        self.stats["db_candidates"] += len(cands)
+        if not cands:
+            self.prev_consistent_groups = []
+            return []
+
+        # 3-consecutive-group consistency (reference :146-221)
+        enough: list[int] = []
+        current_groups: list[tuple[set, int]] = []
+        for cand in cands:
+            ckf = self.map.keyframes.get(cand)
+            if ckf is None:
+                continue
+            group = set(ckf.covis) | {cand}
+            best_consistency = 0
+            for prev_group, count in self.prev_consistent_groups:
+                if group & prev_group:
+                    best_consistency = max(best_consistency, count + 1)
+            current_groups.append((group, best_consistency))
+            if best_consistency >= self.consistency_th:
+                enough.append(cand)
+        self.prev_consistent_groups = current_groups
+        self.stats["consistent"] += len(enough)
+        return enough
+
+    # -- Sim3 --------------------------------------------------------------
+
+    def _compute_sim3(self, kf: KeyFrame, candidates: list[int]):
+        cam = self.camera
+        for cand_id in candidates[:5]:
+            self.stats["sim3_tried"] += 1
+            ckf = self.map.keyframes.get(cand_id)
+            if ckf is None or ckf.bad:
+                continue
+            # mutual descriptor matching between the two KFs' map points
+            my = np.nonzero(kf.map_pt >= 0)[0]
+            their = np.nonzero(ckf.map_pt >= 0)[0]
+            if len(my) < 20 or len(their) < 20:
+                continue
+            # bucketed shapes: one compiled matcher for all candidate pairs
+            bm, bt = bucket(len(my)), bucket(len(their))
+            d = matching.hamming_matrix(
+                jnp.asarray(pad_rows(kf.desc[my], bm)),
+                jnp.asarray(pad_rows(ckf.desc[their], bt)),
+            )
+            idx, dist, ok = matching.match_nn(
+                d, jnp.asarray(pad_mask(len(my), bm)), jnp.asarray(pad_mask(len(their), bt)),
+                None, max_dist=matching.TH_LOW, ratio=0.75, mutual=True,
+            )
+            ok = np.asarray(ok)[: len(my)]
+            if ok.sum() < 20:
+                continue
+            idx = np.asarray(idx)[: len(my)]
+            my_feat = my[ok]
+            their_feat = their[idx[ok]]
+            pids1 = kf.map_pt[my_feat]
+            pids2 = ckf.map_pt[their_feat]
+            good = self.map.pt_valid[pids1] & self.map.pt_valid[pids2]
+            my_feat, their_feat = my_feat[good], their_feat[good]
+            pids1, pids2 = pids1[good], pids2[good]
+            n = len(pids1)
+            if n < 20:
+                continue
+
+            # 3D points in each camera frame
+            p1 = self.map.pt_xyz[pids1] @ kf.t_cw[:3, :3].T + kf.t_cw[:3, 3]
+            p2 = self.map.pt_xyz[pids2] @ ckf.t_cw[:3, :3].T + ckf.t_cw[:3, 3]
+            from orbslam2commentedbyxcm_tpu.models.frame import level_sigma2
+
+            lvl_sig = level_sigma2(kf.n_levels, kf.scale_factor)
+            sig1 = lvl_sig[kf.level[my_feat]]
+            sig2 = lvl_sig[ckf.level[their_feat]]
+
+            bn = bucket(n)
+            p1p = pad_rows(p1.astype(np.float32), bn)
+            p2p = pad_rows(p2.astype(np.float32), bn)
+            nmask = pad_mask(n, bn)
+            self._key, sub = jax.random.split(self._key)
+            res = sim3solver.ransac_sim3(
+                sub, jnp.asarray(p1p), jnp.asarray(p2p),
+                jnp.asarray(nmask), jnp.asarray(cam.K),
+                jnp.asarray(pad_rows(sig1.astype(np.float32), bn, 1.0)),
+                jnp.asarray(pad_rows(sig2.astype(np.float32), bn, 1.0)),
+                fix_scale=self.fix_scale,
+            )
+            if not bool(res.success):
+                continue
+
+            # refine with bidirectional reprojection (OptimizeSim3)
+            uv1 = kf.uv_und[my_feat].astype(np.float32)
+            uv2 = ckf.uv_und[their_feat].astype(np.float32)
+            ref = posegraph.optimize_sim3(
+                res.s12, jnp.asarray(p1p), jnp.asarray(p2p),
+                jnp.asarray(pad_rows(uv1, bn)), jnp.asarray(pad_rows(uv2, bn)),
+                res.inliers,
+                jnp.asarray(cam.K),
+                jnp.asarray(pad_rows((1.0 / np.maximum(sig1, 1e-6)).astype(np.float32), bn, 1.0)),
+                jnp.asarray(pad_rows((1.0 / np.maximum(sig2, 1e-6)).astype(np.float32), bn, 1.0)),
+                fix_scale=self.fix_scale,
+            )
+            if int(ref.n_inliers) < 20:
+                continue
+
+            # s12 maps candidate-camera coords -> current-camera coords;
+            # corrected current pose: S_cw = S12 * T_candidate_cw
+            s_cand = np.asarray(geo.sim3_make(
+                jnp.asarray(ckf.t_cw[:3, :3]), jnp.asarray(ckf.t_cw[:3, 3]), 1.0
+            ))
+            s_cur_corr = np.asarray(ref.s12) @ s_cand
+
+            # guided search: project the loop group's points into the current
+            # KF with the corrected pose; require >= 40 total matches
+            group = set(ckf.best_covisible()) | {cand_id}
+            loop_pids = self.map.points_seen_by(group)
+            self.stats["sim3_ok"] += 1
+            n_total = self._count_guided_matches(kf, s_cur_corr, loop_pids)
+            if n_total >= 40:
+                return True, cand_id, s_cur_corr, loop_pids
+            self.stats["guided_fail"] += 1
+        return False, -1, None, None
+
+    def _count_guided_matches(self, kf: KeyFrame, s_cw: np.ndarray, pids: np.ndarray) -> int:
+        matched, _ = self._guided_matches(kf, s_cw, pids)
+        return int((matched >= 0).sum())
+
+    def _guided_matches(self, kf: KeyFrame, s_cw: np.ndarray, pids: np.ndarray):
+        """Project pids through the (Sim3) pose s_cw into kf and Hamming-match
+        (SearchByProjection with Sim3, src/ORBmatcher.cc:398)."""
+        cam = self.camera
+        if len(pids) == 0:
+            return np.full(kf.capacity, -1, np.int64), np.zeros(0)
+        xyz = self.map.pt_xyz[pids]
+        pc = xyz @ s_cw[:3, :3].T + s_cw[:3, 3]
+        z = pc[:, 2]
+        vis = z > 0.05
+        u = cam.fx * pc[:, 0] / np.maximum(z, 1e-6) + cam.cx
+        v = cam.fy * pc[:, 1] / np.maximum(z, 1e-6) + cam.cy
+        vis &= (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
+        duv = np.maximum(
+            np.abs(u[:, None] - kf.uv_und[None, :, 0]),
+            np.abs(v[:, None] - kf.uv_und[None, :, 1]),
+        )
+        cand = vis[:, None] & (duv <= 10.0) & kf.valid[None, :]
+        bp = bucket(len(pids), 256)
+        d = np.asarray(matching.hamming_matrix(
+            jnp.asarray(pad_rows(self.map.pt_desc[pids], bp)), jnp.asarray(kf.desc)
+        ))[: len(pids)]
+        d = np.where(cand, d, 1e9)
+        best_pt = d.argmin(axis=0)
+        best_d = d.min(axis=0)
+        ok = best_d <= matching.TH_LOW
+        matched = np.where(ok, pids[best_pt], -1)
+        return matched, best_d
+
+    # -- correction --------------------------------------------------------
+
+    def _correct_loop(self, kf: KeyFrame, loop_kf_id: int, s_cur_corr: np.ndarray, loop_pids):
+        m = self.map
+        cam = self.camera
+
+        # 1. corrected Sim3 for the current covisible group (reference :497-571)
+        group = [kf.kf_id] + kf.best_covisible()
+        s_cur_old = np.asarray(geo.sim3_make(
+            jnp.asarray(kf.t_cw[:3, :3]), jnp.asarray(kf.t_cw[:3, 3]), 1.0))
+        corrected: dict[int, np.ndarray] = {}
+        non_corrected: dict[int, np.ndarray] = {}
+        for gid in group:
+            gkf = m.keyframes.get(gid)
+            if gkf is None or gkf.bad:
+                continue
+            s_old = np.asarray(geo.sim3_make(
+                jnp.asarray(gkf.t_cw[:3, :3]), jnp.asarray(gkf.t_cw[:3, 3]), 1.0))
+            s_rel = s_old @ np.linalg.inv(s_cur_old)      # S_g_cur
+            corrected[gid] = s_rel @ s_cur_corr
+            non_corrected[gid] = s_old
+
+        # 2. remap the group's points and update group poses
+        moved = set()
+        for gid, s_corr in corrected.items():
+            gkf = m.keyframes[gid]
+            # world-point correction: p' = S_corrected^-1 . S_old . p
+            corr_tf = np.linalg.inv(s_corr) @ non_corrected[gid]
+            for pid in gkf.map_pt[gkf.map_pt >= 0]:
+                pid = int(pid)
+                if pid in moved or not m.pt_valid[pid]:
+                    continue
+                moved.add(pid)
+                p = m.pt_xyz[pid]
+                m.pt_xyz[pid] = (corr_tf[:3, :3] @ p + corr_tf[:3, 3]).astype(np.float32)
+            # pose update: Tcw from Sim3 (divide translation by scale)
+            s = float(geo.sim3_scale(jnp.asarray(s_corr)))
+            t_cw = np.eye(4, dtype=np.float32)
+            t_cw[:3, :3] = np.asarray(s_corr[:3, :3]) / s
+            t_cw[:3, 3] = np.asarray(s_corr[:3, 3]) / s
+            gkf.set_pose(t_cw)
+            m.update_connections(gkf)
+
+        # 3. fuse loop points into the current KF (replace duplicates)
+        matched, _ = self._guided_matches(kf, s_cur_corr, loop_pids)
+        for feat_idx in np.nonzero(matched >= 0)[0]:
+            new_pid = int(matched[feat_idx])
+            old_pid = int(kf.map_pt[feat_idx])
+            if old_pid >= 0 and m.pt_valid[old_pid] and old_pid != new_pid:
+                m.replace_point(old_pid, new_pid)
+            elif old_pid < 0 and kf.kf_id not in m.obs.get(new_pid, {}):
+                m.add_observation(new_pid, kf.kf_id, int(feat_idx))
+
+        # 4. essential graph optimization (reference :621 / Optimizer.cc:873)
+        self._optimize_essential_graph(kf, loop_kf_id, corrected, non_corrected)
+        kf.loop_edges.add(loop_kf_id)
+        m.keyframes[loop_kf_id].loop_edges.add(kf.kf_id)
+
+        # 5. full BA (reference spawns a GBA thread; synchronous here)
+        if self.run_global_ba:
+            self._global_ba()
+        self.last_loop_kf_id = kf.kf_id
+        self.n_loops_closed += 1
+        m.big_change_idx += 1
+
+    def _optimize_essential_graph(self, kf, loop_kf_id, corrected, non_corrected):
+        m = self.map
+        kfs = sorted(k.kf_id for k in m.good_keyframes())
+        slot = {kf_id: i for i, kf_id in enumerate(kfs)}
+        k = len(kfs)
+        poses = np.zeros((k, 4, 4), np.float32)
+        for kf_id, s in slot.items():
+            gkf = m.keyframes[kf_id]
+            if kf_id in corrected:
+                poses[s] = corrected[kf_id]
+            else:
+                poses[s] = np.asarray(geo.sim3_make(
+                    jnp.asarray(gkf.t_cw[:3, :3]), jnp.asarray(gkf.t_cw[:3, 3]), 1.0))
+        fixed = np.zeros(k, bool)
+        fixed[slot[loop_kf_id]] = True
+
+        edge_i, edge_j, meas = [], [], []
+        seen = set()
+
+        def add_edge(a, b, s_a=None, s_b=None):
+            if a not in slot or b not in slot or (min(a, b), max(a, b)) in seen:
+                return
+            seen.add((min(a, b), max(a, b)))
+            # measurement from pre-correction poses (odometry-consistent)
+            sa = s_a if s_a is not None else _sim3_of(m.keyframes[a])
+            sb = s_b if s_b is not None else _sim3_of(m.keyframes[b])
+            edge_i.append(slot[a])
+            edge_j.append(slot[b])
+            meas.append((sb @ np.linalg.inv(sa)).astype(np.float32))
+
+        def _sim3_of(gkf):
+            return np.asarray(geo.sim3_make(
+                jnp.asarray(gkf.t_cw[:3, :3]), jnp.asarray(gkf.t_cw[:3, 3]), 1.0))
+
+        for kf_id in kfs:
+            gkf = m.keyframes[kf_id]
+            # spanning tree
+            if gkf.parent is not None:
+                pa = m.keyframes.get(gkf.parent)
+                if pa is not None and not pa.bad:
+                    sa = non_corrected.get(kf_id, _sim3_of(gkf))
+                    sb = non_corrected.get(gkf.parent, _sim3_of(pa))
+                    add_edge(kf_id, gkf.parent, sa, sb)
+            # loop edges
+            for le in gkf.loop_edges:
+                if le in slot:
+                    add_edge(kf_id, le)
+            # strong covisibility (weight >= 100, reference minFeat :908)
+            for nb, w in gkf.covis.items():
+                if w >= 100 and nb in slot:
+                    sa = non_corrected.get(kf_id, _sim3_of(gkf))
+                    nkf = m.keyframes.get(nb)
+                    if nkf is None:
+                        continue
+                    sb = non_corrected.get(nb, _sim3_of(nkf))
+                    add_edge(kf_id, nb, sa, sb)
+        # the NEW loop constraint: current KF <-> loop KF with corrected rel
+        a, b = kf.kf_id, loop_kf_id
+        if (min(a, b), max(a, b)) not in seen:
+            edge_i.append(slot[a])
+            edge_j.append(slot[b])
+            s_loop = _sim3_of(m.keyframes[loop_kf_id])
+            meas.append((s_loop @ np.linalg.inv(corrected[kf.kf_id])).astype(np.float32))
+
+        if not edge_i:
+            return
+        # bucket vertex/edge counts: padded vertices are fixed identities,
+        # padded edges masked out
+        kb = bucket(k, 16)
+        eb = bucket(len(edge_i), 64)
+        poses_b = np.tile(np.eye(4, dtype=np.float32), (kb, 1, 1))
+        poses_b[:k] = poses
+        fixed_b = np.ones(kb, bool)
+        fixed_b[:k] = fixed
+        ei = np.zeros(eb, np.int32)
+        ej = np.zeros(eb, np.int32)
+        ei[: len(edge_i)] = edge_i
+        ej[: len(edge_j)] = edge_j
+        meas_b = np.tile(np.eye(4, dtype=np.float32), (eb, 1, 1))
+        meas_b[: len(meas)] = np.stack(meas)
+        res = posegraph.optimize_pose_graph(
+            jnp.asarray(poses_b), jnp.asarray(fixed_b),
+            jnp.asarray(ei), jnp.asarray(ej),
+            jnp.asarray(meas_b), jnp.asarray(pad_mask(len(edge_i), eb)),
+            n_iters=20,
+        )
+        out = np.asarray(res.poses)[:k]
+
+        # write back: correct points via their reference KF, then poses
+        old_sim3 = {kf_id: _sim3_of(m.keyframes[kf_id]) for kf_id in kfs}
+        for kf_id in corrected:
+            old_sim3[kf_id] = non_corrected[kf_id]
+        pids = m.all_point_ids()
+        for pid in pids:
+            ref_id = int(m.pt_ref_kf[pid])
+            if ref_id not in slot:
+                ref_id = next(iter(m.obs.get(int(pid), {ref_id: 0}.keys())), ref_id)
+                if ref_id not in slot:
+                    continue
+            s_new_inv = np.linalg.inv(out[slot[ref_id]])
+            tf = s_new_inv @ old_sim3[ref_id]
+            p = m.pt_xyz[pid]
+            m.pt_xyz[pid] = (tf[:3, :3] @ p + tf[:3, 3]).astype(np.float32)
+        for kf_id, s in slot.items():
+            gkf = m.keyframes[kf_id]
+            sm = out[s]
+            sc = float(geo.sim3_scale(jnp.asarray(sm)))
+            t_cw = np.eye(4, dtype=np.float32)
+            t_cw[:3, :3] = sm[:3, :3] / sc
+            t_cw[:3, 3] = sm[:3, 3] / sc
+            gkf.set_pose(t_cw)
+        for pid in pids:
+            if m.pt_valid[pid]:
+                m.update_point_normal_depth(int(pid))
+
+    def _global_ba(self):
+        """Full-map BA (reference RunGlobalBundleAdjustment, :709)."""
+        m = self.map
+        cam = self.camera
+        kfs = [k for k in m.good_keyframes()]
+        if len(kfs) < 3:
+            return
+        from orbslam2commentedbyxcm_tpu.models.local_mapping import LocalMapping
+
+        helper = LocalMapping(m, cam)
+        helper._run_ba([k.kf_id for k in kfs], fixed_ids={m.origin_kf_id},
+                       n_iters=((10, True), (10, False)))

@@ -33,6 +33,7 @@ class Map:
 
         self.obs: dict[int, dict[int, int]] = {}    # pid -> {kf_id: feat_idx}
         self.keyframes: dict[int, KeyFrame] = {}
+        self.erase_hooks: list = []                  # called with kf_id on deletion
         self.next_kf_id = 0
         self.origin_kf_id = 0                        # GBA root (mvpKeyFrameOrigins)
         self.big_change_idx = 0
@@ -280,6 +281,8 @@ class Map:
                 parent.children.discard(kf_id)
             kf.t_child_parent = kf.t_cw @ np.linalg.inv(self.keyframes[kf.parent].t_cw)
         kf.bad = True
+        for hook in self.erase_hooks:
+            hook(kf_id)
 
     # -- queries ----------------------------------------------------------
 

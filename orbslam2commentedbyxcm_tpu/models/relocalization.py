@@ -1,0 +1,80 @@
+"""Relocalization: BoW candidate retrieval + batched RANSAC PnP recovery.
+
+Reference flow (Tracking::Relocalization, src/Tracking.cc:1511-1684):
+DetectRelocalizationCandidates -> per-candidate SearchByBoW (>=15 matches) ->
+EPnP RANSAC -> PoseOptimization -> widened projection search -> accept at
+>= 50 inliers. Here candidate matching is one masked Hamming matmul per
+candidate and the PnP RANSAC evaluates 256 hypotheses as one batch.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orbslam2commentedbyxcm_tpu.ops import bow, matching, optim, pnp
+from orbslam2commentedbyxcm_tpu.utils.bucketing import bucket, pad_mask, pad_rows
+
+
+class Relocalizer:
+    def __init__(self, world_map, camera, keyframe_db=None, vocabulary=None):
+        self.map = world_map
+        self.camera = camera
+        self.db = keyframe_db
+        self.voc = vocabulary
+        self._key = jax.random.PRNGKey(7)
+
+    def relocalize(self, frame, tracking) -> bool:
+        if self.db is None or self.voc is None:
+            return False
+        words, _, weights = bow.transform(self.voc, frame.desc, frame.valid)
+        ids, vals = bow.bow_vector(words, weights, self.voc.n_words)
+        candidates = self.db.detect_relocalization_candidates(ids, vals, self.map)
+        if not candidates:
+            return False
+
+        cam = self.camera
+        for kf_id in candidates[:5]:
+            kf = self.map.keyframes.get(kf_id)
+            if kf is None or kf.bad:
+                continue
+            # match frame features against the candidate's map points
+            pids = np.unique(kf.map_pt[kf.map_pt >= 0])
+            pids = pids[self.map.pt_valid[pids]]
+            if len(pids) < 15:
+                continue
+            bp = bucket(len(pids), 256)
+            pt_desc = pad_rows(self.map.pt_desc[pids], bp)
+            d = matching.hamming_matrix(jnp.asarray(frame.desc), jnp.asarray(pt_desc))
+            idx, dist, ok = matching.match_nn(
+                d, jnp.asarray(frame.valid), jnp.asarray(pad_mask(len(pids), bp)), None,
+                max_dist=matching.TH_LOW, ratio=0.75,
+            )
+            ok = np.asarray(ok)
+            if ok.sum() < 15:
+                continue
+            idx = np.asarray(idx)
+            pts3d = np.zeros((frame.capacity, 3), np.float32)
+            pts3d[ok] = self.map.pt_xyz[pids[idx[ok]]]
+
+            self._key, sub = jax.random.split(self._key)
+            res = pnp.ransac_pnp(
+                sub, jnp.asarray(pts3d), jnp.asarray(frame.uv_und),
+                jnp.asarray(ok), jnp.asarray(cam.K), jnp.asarray(frame.sigma2()),
+            )
+            if not bool(res.success):
+                continue
+            frame.set_pose(np.asarray(res.t_cw))
+            frame.map_pt = np.where(
+                ok & np.asarray(res.inliers), pids[idx], -1
+            )
+            # widened local search + pose optimization via the tracking helpers
+            n, _ = tracking._match_and_optimize(
+                frame, pids, frame.t_cw, radius=10.0, keep_existing=True
+            )
+            if n >= 50 or (n >= 25 and len(pids) < 100):
+                tracking.ref_kf_id = kf_id
+                tracking.velocity = None
+                return True
+        return False

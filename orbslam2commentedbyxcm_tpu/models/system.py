@@ -27,6 +27,41 @@ class Sensor(enum.Enum):
     RGBD = 2
 
 
+class _LazyVocabTrainer:
+    """Stand-in loop_closer that trains a vocabulary once the map is big
+    enough, then hands over to the real place-recognition stack."""
+
+    def __init__(self, system):
+        self.system = system
+
+    def insert_keyframe(self, kf_id: int):
+        sys_ = self.system
+        if len(sys_.map.good_keyframes()) >= 5:
+            if sys_.train_vocabulary_from_map() and sys_.local_mapping.loop_closer is not self:
+                sys_.local_mapping.loop_closer.insert_keyframe(kf_id)
+
+
+class _DbOnlyRegistrar:
+    """Registers keyframe BoW vectors without running loop detection (used
+    when loop closing is disabled but relocalization still needs the DB)."""
+
+    def __init__(self, system):
+        self.system = system
+
+    def insert_keyframe(self, kf_id: int):
+        from orbslam2commentedbyxcm_tpu.ops import bow
+
+        sys_ = self.system
+        kf = sys_.map.keyframes.get(kf_id)
+        if kf is None or sys_.vocabulary is None:
+            return
+        words, groups, weights = bow.transform(sys_.vocabulary, kf.desc, kf.valid)
+        ids, vals = bow.bow_vector(words, weights, sys_.vocabulary.n_words)
+        kf.bow_vec = (ids, vals)
+        kf.bow_feat_nodes = groups
+        sys_.keyframe_db.add(kf_id, ids, vals)
+
+
 class System:
     def __init__(
         self,
@@ -46,22 +81,68 @@ class System:
             n_levels=self.cfg.n_levels,
         )
         self.local_mapping = LocalMapping(self.map, camera)
+        self.vocabulary = vocabulary
+        self.keyframe_db = None
         self.loop_closing = None
-        if enable_loop_closing:
-            try:
-                from orbslam2commentedbyxcm_tpu.models.loop_closing import LoopClosing
+        self._lazy_vocab = vocabulary is None
 
-                self.loop_closing = LoopClosing(self.map, camera, vocabulary=vocabulary)
-                self.local_mapping.loop_closer = self.loop_closing
-            except ImportError:
-                pass
-        try:
-            from orbslam2commentedbyxcm_tpu.models.relocalization import Relocalizer
+        from orbslam2commentedbyxcm_tpu.models.loop_closing import LoopClosing
+        from orbslam2commentedbyxcm_tpu.models.relocalization import Relocalizer
 
-            self.local_mapping.relocalizer = Relocalizer(self.map, camera, vocabulary=vocabulary)
-        except ImportError:
-            pass
+        self._enable_loop_closing = enable_loop_closing
+        if vocabulary is not None:
+            self._wire_place_recognition()
+        else:
+            # lazy: a vocabulary is trained from the map's own descriptors once
+            # enough keyframes exist (the reference instead loads ORBvoc.txt,
+            # trained offline for its descriptor pattern — src/System.cc:65-75;
+            # utils/vocab_tools.py provides offline training/saving here)
+            self.local_mapping.loop_closer = _LazyVocabTrainer(self)
         self.tracking = Tracking(camera, self.extractor, self.map, self.local_mapping, self.cfg)
+
+    def _wire_place_recognition(self):
+        from orbslam2commentedbyxcm_tpu.models.keyframe_database import KeyFrameDatabase
+        from orbslam2commentedbyxcm_tpu.models.loop_closing import LoopClosing
+        from orbslam2commentedbyxcm_tpu.models.relocalization import Relocalizer
+
+        self.keyframe_db = KeyFrameDatabase(self.vocabulary)
+        self.map.erase_hooks.append(self.keyframe_db.erase)
+        fix_scale = self.sensor != Sensor.MONOCULAR
+        if self._enable_loop_closing:
+            self.loop_closing = LoopClosing(
+                self.map, self.camera, keyframe_db=self.keyframe_db,
+                vocabulary=self.vocabulary, fix_scale=fix_scale,
+            )
+            self.local_mapping.loop_closer = self.loop_closing
+        else:
+            self.local_mapping.loop_closer = _DbOnlyRegistrar(self)
+        self.local_mapping.relocalizer = Relocalizer(
+            self.map, self.camera, keyframe_db=self.keyframe_db, vocabulary=self.vocabulary
+        )
+
+    def train_vocabulary_from_map(self, k: int = 8, depth: int = 3):
+        """Train a vocabulary on the map's own keyframe descriptors and wire
+        up the place-recognition stack (loop closing + relocalization)."""
+        from orbslam2commentedbyxcm_tpu.ops import bow
+
+        descs = []
+        for kf in self.map.good_keyframes():
+            descs.append(kf.desc[kf.valid])
+        if not descs:
+            return False
+        train = np.concatenate(descs)
+        if len(train) < 500:
+            return False
+        self.vocabulary = bow.train_vocabulary(train, k=k, depth=depth)
+        self._wire_place_recognition()
+        # register existing keyframes
+        for kf in sorted(self.map.good_keyframes(), key=lambda x: x.kf_id):
+            words, groups, weights = bow.transform(self.vocabulary, kf.desc, kf.valid)
+            ids, vals = bow.bow_vector(words, weights, self.vocabulary.n_words)
+            kf.bow_vec = (ids, vals)
+            kf.bow_feat_nodes = groups
+            self.keyframe_db.add(kf.kf_id, ids, vals)
+        return True
 
     # -- frame entry points ------------------------------------------------
 

@@ -1,0 +1,244 @@
+"""Binary bag-of-words place recognition: vocabulary tree + batched transform.
+
+Replacement for DBoW2 (Thirdparty/DBoW2, SURVEY.md §2.2): the k^L vocabulary
+tree (TemplatedVocabulary.h) becomes packed arrays — per-node descriptors,
+children indices, word weights — and `transform` (TemplatedVocabulary.h:1129,
+the per-descriptor tree descent) becomes L batched gather+Hamming-argmin
+steps over all descriptors at once (MXU-friendly: each level is one
+(N, k)-candidate masked Hamming).
+
+Also provides on-device hierarchical binary k-means training (FORB::meanValue
+bit-majority + Hamming assignment) since the reference's ORBvoc.txt artifact
+is trained for OpenCV-pattern descriptors and is absent from the snapshot;
+this framework trains its own vocabulary for its own descriptor distribution
+(utils/vocab_tools.py has the CLI).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orbslam2commentedbyxcm_tpu.ops.matching import hamming_matrix, unpack_bits
+
+
+@dataclasses.dataclass
+class Vocabulary:
+    """Packed vocabulary tree.
+
+    Nodes are in BFS order; node 0 is the root. Leaves are words.
+    """
+
+    k: int                      # branching factor
+    depth: int                  # number of levels below root
+    node_desc: np.ndarray       # (n_nodes, 8) uint32
+    node_children: np.ndarray   # (n_nodes, k) int32, -1 = none
+    node_parent: np.ndarray     # (n_nodes,) int32
+    node_level: np.ndarray      # (n_nodes,) int32 (root = 0)
+    word_id: np.ndarray         # (n_nodes,) int32, -1 unless leaf
+    word_weight: np.ndarray     # (n_words,) float32 — idf
+    word_node: np.ndarray       # (n_words,) int32 — node id of each word
+
+    @property
+    def n_words(self) -> int:
+        return len(self.word_weight)
+
+    def save(self, path: str):
+        np.savez_compressed(
+            path, k=self.k, depth=self.depth, node_desc=self.node_desc,
+            node_children=self.node_children, node_parent=self.node_parent,
+            node_level=self.node_level, word_id=self.word_id,
+            word_weight=self.word_weight, word_node=self.word_node,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "Vocabulary":
+        z = np.load(path)
+        return cls(
+            k=int(z["k"]), depth=int(z["depth"]), node_desc=z["node_desc"],
+            node_children=z["node_children"], node_parent=z["node_parent"],
+            node_level=z["node_level"], word_id=z["word_id"],
+            word_weight=z["word_weight"], word_node=z["word_node"],
+        )
+
+
+# ---------------------------------------------------------------------------
+# Training
+# ---------------------------------------------------------------------------
+
+def _bit_majority(desc: np.ndarray, weight: np.ndarray | None = None) -> np.ndarray:
+    """Mean of binary descriptors = per-bit majority (FORB::meanValue)."""
+    bits = np.unpackbits(desc.view(np.uint8), axis=1)
+    mean = bits.mean(axis=0) if weight is None else np.average(bits, 0, weight)
+    maj = (mean > 0.5).astype(np.uint8)
+    return np.packbits(maj).view(np.uint32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "iters"))
+def _kmeans_assign_update(desc_j, mask_j, centroids_j, k: int, iters: int):
+    """Binary k-means iterations on device: Hamming assignment + bit-majority
+    update. desc (N, 8) u32 (bucket-padded; mask_j marks real rows)."""
+    bits = unpack_bits(desc_j)  # (N, 256)
+
+    def step(carry, _):
+        cent = carry
+        d = hamming_matrix(desc_j, cent)  # (N, k)
+        assign = jnp.argmin(d, axis=1)
+        one_hot = jax.nn.one_hot(assign, k, dtype=jnp.float32) * mask_j[:, None]
+        counts = jnp.maximum(one_hot.sum(axis=0), 1.0)
+        mean_bits = (one_hot.T @ bits) / counts[:, None]  # (k, 256)
+        maj = (mean_bits > 0.5).astype(jnp.uint32)
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        packed = jnp.sum(
+            maj.reshape(k, 8, 32) << shifts[None, None, :], axis=-1, dtype=jnp.uint32
+        )
+        # keep old centroid for empty clusters
+        empty = one_hot.sum(axis=0) < 0.5
+        packed = jnp.where(empty[:, None], cent, packed)
+        return packed, None
+
+    cent, _ = jax.lax.scan(step, centroids_j, None, length=iters)
+    d = hamming_matrix(desc_j, cent)
+    return cent, jnp.argmin(d, axis=1)
+
+
+def train_vocabulary(
+    descriptors: np.ndarray, k: int = 10, depth: int = 4, seed: int = 0,
+    kmeans_iters: int = 8, max_train: int = 200_000,
+) -> Vocabulary:
+    """Hierarchical binary k-means (TemplatedVocabulary::create equivalent)."""
+    rng = np.random.default_rng(seed)
+    if len(descriptors) > max_train:
+        descriptors = descriptors[rng.choice(len(descriptors), max_train, replace=False)]
+
+    node_desc = [np.zeros(8, np.uint32)]
+    node_children = [[]]
+    node_parent = [-1]
+    node_level = [0]
+    # (node_id, level, descriptor subset)
+    stack = [(0, 0, descriptors)]
+    while stack:
+        nid, lvl, subset = stack.pop()
+        if lvl >= depth or len(subset) < k:
+            continue
+        from orbslam2commentedbyxcm_tpu.utils.bucketing import bucket, pad_mask, pad_rows
+
+        init_idx = rng.choice(len(subset), k, replace=False)
+        nb = bucket(len(subset), 256)
+        cent, assign = _kmeans_assign_update(
+            jnp.asarray(pad_rows(subset, nb)), jnp.asarray(pad_mask(len(subset), nb).astype(np.float32)),
+            jnp.asarray(subset[init_idx]), k, kmeans_iters
+        )
+        cent = np.asarray(cent)
+        assign = np.asarray(assign)[: len(subset)]
+        for c in range(k):
+            sel = subset[assign == c]
+            if len(sel) == 0:
+                continue
+            child_id = len(node_desc)
+            node_desc.append(cent[c])
+            node_children.append([])
+            node_parent.append(nid)
+            node_level.append(lvl + 1)
+            node_children[nid].append(child_id)
+            stack.append((child_id, lvl + 1, sel))
+
+    n_nodes = len(node_desc)
+    children_arr = np.full((n_nodes, k), -1, np.int32)
+    for nid, ch in enumerate(node_children):
+        children_arr[nid, : len(ch)] = ch
+    node_level = np.asarray(node_level, np.int32)
+    leaves = np.nonzero([len(c) == 0 for c in node_children])[0].astype(np.int32)
+    word_id = np.full(n_nodes, -1, np.int32)
+    word_id[leaves] = np.arange(len(leaves), dtype=np.int32)
+
+    voc = Vocabulary(
+        k=k, depth=depth,
+        node_desc=np.stack(node_desc).reshape(n_nodes, 8).astype(np.uint32),
+        node_children=children_arr,
+        node_parent=np.asarray(node_parent, np.int32),
+        node_level=node_level,
+        word_id=word_id,
+        word_weight=np.ones(len(leaves), np.float32),
+        word_node=leaves,
+    )
+    # idf weights from the training corpus treated as one document per descriptor
+    words, _, _ = transform(voc, descriptors, np.ones(len(descriptors), bool))
+    counts = np.bincount(np.asarray(words), minlength=voc.n_words).astype(np.float64)
+    n = len(descriptors)
+    idf = np.log(n / np.maximum(counts, 1.0))
+    voc.word_weight = np.maximum(idf, 1e-3).astype(np.float32)
+    return voc
+
+
+# ---------------------------------------------------------------------------
+# Transform (tree descent) + BoW vectors
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("depth", "levelsup"))
+def _descend(desc_j, node_desc_j, children_j, depth: int, levelsup: int):
+    n = desc_j.shape[0]
+    node = jnp.zeros(n, jnp.int32)
+    node_at_levelsup = jnp.zeros(n, jnp.int32)
+    for lvl in range(depth):
+        ch = children_j[node]                     # (N, k)
+        has_child = ch >= 0
+        ch_safe = jnp.maximum(ch, 0)
+        cd = node_desc_j[ch_safe]                 # (N, k, 8)
+        a = unpack_bits(desc_j)                   # (N, 256)
+        b = unpack_bits(cd)                       # (N, k, 256)
+        d = jnp.sum(jnp.abs(b - a[:, None, :]), axis=-1)
+        d = jnp.where(has_child, d, 1e9)
+        best = jnp.argmin(d, axis=1)
+        nxt = jnp.take_along_axis(ch_safe, best[:, None], axis=1)[:, 0]
+        any_child = jnp.any(has_child, axis=1)
+        node = jnp.where(any_child, nxt, node)    # stay at leaf
+        if lvl + 1 == depth - levelsup:
+            node_at_levelsup = node
+    return node, node_at_levelsup
+
+
+def transform(voc: Vocabulary, descriptors: np.ndarray, valid: np.ndarray, levelsup: int = 2):
+    """Assign each descriptor to a word (leaf) + a grouping node `levelsup`
+    levels above the leaves (DBoW2 FeatureVector grouping, levelsup=4 in the
+    reference at depth 6; scaled to this vocab's depth).
+
+    Returns (word (N,), group_node (N,), weights (N,)) as numpy, with -1
+    word for invalid slots.
+    """
+    levelsup = min(levelsup, voc.depth - 1)
+    node, group = _descend(
+        jnp.asarray(descriptors), jnp.asarray(voc.node_desc),
+        jnp.asarray(voc.node_children), voc.depth, levelsup,
+    )
+    node = np.asarray(node)
+    group = np.asarray(group)
+    words = voc.word_id[node]
+    words = np.where(valid, words, -1)
+    weights = np.where(words >= 0, voc.word_weight[np.maximum(words, 0)], 0.0)
+    return words, group, weights.astype(np.float32)
+
+
+def bow_vector(words: np.ndarray, weights: np.ndarray, n_words: int):
+    """L1-normalized sparse BoW vector as (word_ids, values) arrays."""
+    m = words >= 0
+    vec = np.bincount(words[m], weights=weights[m], minlength=n_words)
+    ids = np.nonzero(vec)[0]
+    vals = vec[ids]
+    s = vals.sum()
+    if s > 0:
+        vals = vals / s
+    return ids.astype(np.int32), vals.astype(np.float32)
+
+
+def l1_score(ids1, vals1, ids2, vals2) -> float:
+    """DBoW2 L1 scoring (ScoringObject.h): s = 2 sum_i min(v1_i, v2_i) for
+    L1-normalized vectors (equivalent to 1 - 0.5 |v1 - v2|_1)."""
+    common, i1, i2 = np.intersect1d(ids1, ids2, return_indices=True)
+    if len(common) == 0:
+        return 0.0
+    return float(2.0 * np.minimum(vals1[i1], vals2[i2]).sum()) * 0.5

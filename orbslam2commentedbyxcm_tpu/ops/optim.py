@@ -23,6 +23,7 @@ Units of chi2 and the Huber deltas follow the reference: 5.991 (mono) / 7.815
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -101,6 +102,7 @@ class PoseOptResult(NamedTuple):
     chi2: jnp.ndarray       # () float32 — final robust cost
 
 
+@functools.partial(jax.jit, static_argnames=("n_rounds", "n_iters"))
 def pose_optimization(
     t_cw: jnp.ndarray,
     pts_w: jnp.ndarray,
@@ -189,6 +191,7 @@ class BAResult(NamedTuple):
     chi2: jnp.ndarray         # () float32
 
 
+@functools.partial(jax.jit, static_argnames=("schedule", "relabel_between"))
 def bundle_adjustment(
     poses: jnp.ndarray,        # (K, 4, 4) Tcw
     pose_fixed: jnp.ndarray,   # (K,) bool — True = held constant

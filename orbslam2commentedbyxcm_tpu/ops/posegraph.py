@@ -1,0 +1,203 @@
+"""Sim3 pose-graph optimization (essential graph) and two-frame Sim3 refine.
+
+Replaces the reference Optimizer::OptimizeEssentialGraph (src/Optimizer.cc:873
+— g2o VertexSim3Expmap / EdgeSim3 over loop + spanning-tree + strong-
+covisibility edges, 20 LM iterations) and Optimizer::OptimizeSim3 (:1173 —
+the two-keyframe Sim3 with fixed points and bidirectional reprojection
+edges). TPU-first: per-edge 7/14-dim Jacobians come from vmapped forward-mode
+autodiff of the Lie-group residual (no hand-derived Sim3 Jacobians), the
+Hessian is assembled with scatter-adds into a dense (7K, 7K) system and
+solved with one Cholesky — XLA prefers one dense solve over g2o's sparse
+factorization at these sizes (K up to a few thousand keyframes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from orbslam2commentedbyxcm_tpu.utils.geometry import (
+    sim3_exp,
+    sim3_inverse,
+    sim3_log,
+)
+
+
+def _edge_residual(delta_i, delta_j, s_i, s_j, meas_ji):
+    """r = log(S_ji_meas^-1 . (exp(dj) S_j) . (exp(di) S_i)^-1), (7,)."""
+    si = sim3_exp(delta_i) @ s_i
+    sj = sim3_exp(delta_j) @ s_j
+    rel = sj @ sim3_inverse(si)
+    return sim3_log(sim3_inverse(meas_ji) @ rel)
+
+
+_res_and_jac = jax.vmap(
+    lambda si, sj, meas: (
+        _edge_residual(jnp.zeros(7), jnp.zeros(7), si, sj, meas),
+        jax.jacfwd(_edge_residual, argnums=(0, 1))(
+            jnp.zeros(7), jnp.zeros(7), si, sj, meas
+        ),
+    )
+)
+
+
+class PoseGraphResult(NamedTuple):
+    poses: jnp.ndarray  # (K, 4, 4) optimized Sim3 S_cw
+    cost: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters",))
+def optimize_pose_graph(
+    poses: jnp.ndarray,      # (K, 4, 4) Sim3 [sR t; 0 1], world->cam
+    fixed: jnp.ndarray,      # (K,) bool
+    edge_i: jnp.ndarray,     # (E,) int32
+    edge_j: jnp.ndarray,     # (E,) int32
+    edge_meas: jnp.ndarray,  # (E, 4, 4) measured S_j * S_i^-1
+    edge_mask: jnp.ndarray,  # (E,) bool
+    edge_weight: jnp.ndarray | None = None,
+    n_iters: int = 20,
+) -> PoseGraphResult:
+    k = poses.shape[0]
+    free = (~fixed).astype(jnp.float32)
+    w_e = edge_mask.astype(jnp.float32)
+    if edge_weight is not None:
+        w_e = w_e * edge_weight
+
+    def total_cost(p):
+        r, _ = _res_and_jac(p[edge_i], p[edge_j], edge_meas)
+        return jnp.sum(jnp.sum(r * r, axis=-1) * w_e)
+
+    def gn_step(carry, _):
+        p, lam, err = carry
+        r, (j_i, j_j) = _res_and_jac(p[edge_i], p[edge_j], edge_meas)
+        j_i = j_i * (free[edge_i] * w_e)[:, None, None]
+        j_j = j_j * (free[edge_j] * w_e)[:, None, None]
+        r_w = r * w_e[:, None]
+
+        # assemble H (K,7,K,7) and g (K,7) via flat scatter-add
+        def blocks(ja, jb):  # (E,7,7) J_a^T J_b
+            return jnp.einsum("eri,erj->eij", ja, jb, precision="highest")
+
+        h = jnp.zeros((k * k, 7, 7))
+        h = h.at[edge_i * k + edge_i].add(blocks(j_i, j_i))
+        h = h.at[edge_j * k + edge_j].add(blocks(j_j, j_j))
+        h = h.at[edge_i * k + edge_j].add(blocks(j_i, j_j))
+        h = h.at[edge_j * k + edge_i].add(blocks(j_j, j_i))
+        h = h.reshape(k, k, 7, 7).transpose(0, 2, 1, 3)
+        g = jnp.zeros((k, 7))
+        g = g.at[edge_i].add(jnp.einsum("eri,er->ei", j_i, r_w, precision="highest"))
+        g = g.at[edge_j].add(jnp.einsum("eri,er->ei", j_j, r_w, precision="highest"))
+
+        # damping + fixed handling
+        hmat = h.reshape(k * 7, k * 7)
+        dvec = jnp.diag(hmat)
+        hmat = hmat + jnp.diag(lam * dvec + 1e-8)
+        fmask = jnp.repeat(free, 7)
+        hmat = hmat * fmask[:, None] * fmask[None, :] + jnp.diag(1.0 - fmask)
+        gvec = g.reshape(-1) * fmask
+
+        dx = -jnp.linalg.solve(hmat, gvec).reshape(k, 7)
+        dx = dx * free[:, None]
+        p_new = jax.vmap(sim3_exp)(dx) @ p
+        err_new = total_cost(p_new)
+        accept = err_new < err
+        p = jnp.where(accept, p_new, p)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)
+        err = jnp.where(accept, err_new, err)
+        return (p, lam, err), None
+
+    err0 = total_cost(poses)
+    (p, _, err), _ = jax.lax.scan(gn_step, (poses, jnp.float32(1e-6), err0), None, length=n_iters)
+    return PoseGraphResult(poses=p, cost=err)
+
+
+# ---------------------------------------------------------------------------
+# Two-keyframe Sim3 refinement (OptimizeSim3)
+# ---------------------------------------------------------------------------
+
+class Sim3RefineResult(NamedTuple):
+    s12: jnp.ndarray
+    inliers: jnp.ndarray
+    n_inliers: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("fix_scale", "chi2_th", "n_iters"))
+def optimize_sim3(
+    s12: jnp.ndarray,        # (4, 4) initial [sR t] mapping cam2 -> cam1
+    pts1: jnp.ndarray,       # (N, 3) matched points in cam1 frame
+    pts2: jnp.ndarray,       # (N, 3) matched points in cam2 frame
+    uv1: jnp.ndarray,        # (N, 2) observed pixels in image 1
+    uv2: jnp.ndarray,        # (N, 2) observed pixels in image 2
+    mask: jnp.ndarray,
+    k_mat: jnp.ndarray,
+    inv_sigma2_1: jnp.ndarray,
+    inv_sigma2_2: jnp.ndarray,
+    fix_scale: bool = False,
+    chi2_th: float = 10.0,
+    n_iters: int = 10,
+) -> Sim3RefineResult:
+    """GN refine of the relative Sim3 with bidirectional reprojection residuals
+    (EdgeSim3ProjectXYZ / EdgeInverseSim3ProjectXYZ), inlier pruning between
+    two rounds like the reference (:1290-1330)."""
+    fx, fy, cx, cy = k_mat[0, 0], k_mat[1, 1], k_mat[0, 2], k_mat[1, 2]
+
+    def project(p):
+        z = jnp.where(p[..., 2] < 1e-6, 1e-6, p[..., 2])
+        return jnp.stack([fx * p[..., 0] / z + cx, fy * p[..., 1] / z + cy], axis=-1)
+
+    def residuals(delta, s):
+        sc = sim3_exp(delta) @ s
+        p2_in_1 = pts2 @ sc[:3, :3].T + sc[:3, 3]
+        r1 = (project(p2_in_1) - uv1) * jnp.sqrt(inv_sigma2_1)[:, None]
+        sinv = sim3_inverse(sc)
+        p1_in_2 = pts1 @ sinv[:3, :3].T + sinv[:3, 3]
+        r2 = (project(p1_in_2) - uv2) * jnp.sqrt(inv_sigma2_2)[:, None]
+        return jnp.concatenate([r1, r2], axis=-1)  # (N, 4)
+
+    def chi2(s):
+        r = residuals(jnp.zeros(7), s)
+        return jnp.sum(r[:, :2] ** 2, -1), jnp.sum(r[:, 2:] ** 2, -1)
+
+    def gn_round(s, active, iters):
+        def step(carry, _):
+            s, lam, err = carry
+            r = residuals(jnp.zeros(7), s) * active[:, None]
+            j = jax.jacfwd(lambda d: residuals(d, s))(jnp.zeros(7))  # (N, 4, 7)
+            j = j * active[:, None, None]
+            if fix_scale:
+                j = j.at[..., 6].set(0.0)
+            h = jnp.einsum("nri,nrj->ij", j, j, precision="highest")
+            g = jnp.einsum("nri,nr->i", j, r, precision="highest")
+            h = h + jnp.diag(lam * jnp.diag(h) + 1e-8)
+            dx = -jnp.linalg.solve(h, g)
+            if fix_scale:
+                dx = dx.at[6].set(0.0)
+            s_new = sim3_exp(dx) @ s
+            r_new = residuals(jnp.zeros(7), s_new) * active[:, None]
+            err_new = jnp.sum(r_new * r_new)
+            accept = err_new < err
+            s = jnp.where(accept, s_new, s)
+            lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 10.0), 1e-9, 1e6)
+            err = jnp.where(accept, err_new, err)
+            return (s, lam, err), None
+
+        r0 = residuals(jnp.zeros(7), s) * active[:, None]
+        # start with meaningful damping and grow fast on rejection: the
+        # bidirectional sim3 residual is strongly nonlinear and a raw GN step
+        # from a perturbed start overshoots.
+        (s, _, _), _ = jax.lax.scan(
+            step, (s, jnp.float32(1e-2), jnp.sum(r0 * r0)), None, length=iters
+        )
+        return s
+
+    active = mask.astype(jnp.float32)
+    s12 = gn_round(s12, active, n_iters)
+    c1, c2 = chi2(s12)
+    inl = mask & (c1 < chi2_th) & (c2 < chi2_th)
+    s12 = gn_round(s12, inl.astype(jnp.float32), n_iters)
+    c1, c2 = chi2(s12)
+    inl = mask & (c1 < chi2_th) & (c2 < chi2_th)
+    return Sim3RefineResult(s12=s12, inliers=inl, n_inliers=jnp.sum(inl))

@@ -14,6 +14,7 @@ All functions are pure and jit-friendly; invalid correspondences are masked.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -271,6 +272,10 @@ def _decompose_h(h: jnp.ndarray):
     return rs, ts
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("sigma", "n_hypotheses", "min_inliers", "min_triangulated_ratio"),
+)
 def initialize_two_view(
     key: jax.Array,
     uv1: jnp.ndarray,

@@ -1,0 +1,68 @@
+"""Settings loader compatible with the reference's OpenCV-YAML files.
+
+The reference reads camera/extractor/viewer settings via cv::FileStorage
+(src/Tracking.cc:62-171). This loader accepts those exact files (they start
+with a `%YAML:1.0` directive that standard YAML parsers reject) and maps the
+keys — Camera.fx/fy/cx/cy/k1..k3/p1/p2/bf/fps/width/height, ThDepth,
+DepthMapFactor, ORBextractor.nFeatures/scaleFactor/nLevels/iniThFAST/
+minThFAST — onto (Camera, TrackingConfig).
+"""
+
+from __future__ import annotations
+
+import re
+
+from orbslam2commentedbyxcm_tpu.utils.camera import Camera
+
+
+def parse_opencv_yaml(path: str) -> dict:
+    """Minimal parser for flat `Key.Sub: value` OpenCV YAML settings files."""
+    out: dict[str, float | str] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line or line.startswith("%") or line.startswith("---"):
+                continue
+            m = re.match(r"([A-Za-z0-9_.]+)\s*:\s*(.+)", line)
+            if not m:
+                continue
+            key, val = m.group(1), m.group(2).strip().strip('"')
+            try:
+                out[key] = float(val)
+            except ValueError:
+                out[key] = val
+    return out
+
+
+def load_settings(path: str):
+    """-> (Camera, TrackingConfig, raw dict)."""
+    from orbslam2commentedbyxcm_tpu.models.tracking import TrackingConfig
+
+    d = parse_opencv_yaml(path)
+
+    def g(key, default=0.0):
+        return float(d.get(key, default))
+
+    camera = Camera(
+        fx=g("Camera.fx", 500.0), fy=g("Camera.fy", 500.0),
+        cx=g("Camera.cx", 320.0), cy=g("Camera.cy", 240.0),
+        k1=g("Camera.k1"), k2=g("Camera.k2"),
+        p1=g("Camera.p1"), p2=g("Camera.p2"), k3=g("Camera.k3"),
+        width=int(g("Camera.width", 640)), height=int(g("Camera.height", 480)),
+        bf=g("Camera.bf"), fps=g("Camera.fps", 30.0),
+        th_depth=g("ThDepth", 35.0),
+    )
+    cfg = TrackingConfig(
+        n_features=int(g("ORBextractor.nFeatures", 1000)),
+        scale_factor=g("ORBextractor.scaleFactor", 1.2),
+        n_levels=int(g("ORBextractor.nLevels", 8)),
+        max_frames_between_kf=int(g("Camera.fps", 30.0)),
+        depth_th=g("ThDepth", 35.0),
+    )
+    extra = {
+        "depth_map_factor": g("DepthMapFactor", 5000.0),
+        "ini_th_fast": g("ORBextractor.iniThFAST", 20.0),
+        "min_th_fast": g("ORBextractor.minThFAST", 7.0),
+        "rgb": int(g("Camera.RGB", 1)),
+    }
+    return camera, cfg, {**d, **extra}

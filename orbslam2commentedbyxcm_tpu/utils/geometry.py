@@ -234,45 +234,70 @@ def sim3_apply(m: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sim3_w(phi: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
-    """The W matrix of sim3 exp/log: t = W rho (Strasdat thesis / g2o sim3.h)."""
+    """The W matrix of sim3 exp/log: t = W rho.
+
+    W = int_0^1 e^(sigma t) exp(hat(phi) t) dt = a I + b K + c K^2 with
+      a = (s - 1)/sigma
+      b = (s sigma sin th + th (1 - s cos th)) / (th (sigma^2 + th^2))
+      c = (a - (s (sigma cos th + th sin th) - sigma)/(sigma^2 + th^2)) / th^2
+    (s = e^sigma; validated against scipy.linalg.expm of the 4x4 generator).
+
+    Two numerical rules: every discarded jnp.where branch must still be
+    finite (autodiff propagates NaN from unselected branches), and the
+    exact formulas cancel catastrophically for small th/sigma, so both get
+    series fallbacks below 0.05.
+    """
+    dtype = phi.dtype
     s = jnp.exp(sigma)
     theta2 = jnp.sum(phi * phi, axis=-1)
     theta = jnp.sqrt(jnp.maximum(theta2, _EPS * _EPS))
     k = hat(phi)
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), k.shape)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), k.shape)
 
-    sig_small = jnp.abs(sigma) < 1e-5
-    th_small = theta2 < 1e-8
+    sig_small = jnp.abs(sigma) < 0.05
+    th_small = theta < 0.05
 
-    # Coefficients of W = a*I + b*K + c*K^2 s.t. t = W rho.
-    # General: a = (s-1)/sigma; with rotation:
-    #   b = (sigma*(1 - s*cos th) + s*sin th*th) / (th*(sigma^2+th^2))  [see sim3 exp]
-    # We assemble with safe denominators and Taylor fallbacks.
     safe_sigma = jnp.where(sig_small, 1.0, sigma)
-    a_coef = jnp.where(sig_small, 1.0 + sigma / 2.0 + sigma * sigma / 6.0, (s - 1.0) / safe_sigma)
-
-    denom = safe_sigma * safe_sigma + theta2
+    safe_sigma2 = safe_sigma * safe_sigma
+    safe_theta = jnp.where(th_small, 1.0, theta)
+    safe_theta2 = jnp.where(th_small, 1.0, theta2)
+    c_den = jnp.where(sig_small & th_small, 1.0, sigma * sigma + theta2)
     sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
 
-    # With both small: b -> (1-cos)/th^2 ~ 0.5, c -> (th - sin)/th^3 ~ 1/6 at sigma=0
-    b_rot_sig = (safe_sigma * (1.0 - s * cos_t) + s * sin_t * theta) / (theta2 * jnp.where(sig_small, 1.0, denom))
-    b_rot_nosig = (1.0 - cos_t) / jnp.where(th_small, 1.0, theta2)
-    c_rot_sig = (
-        (s - 1.0) / safe_sigma
-        - ((s * cos_t - 1.0) * safe_sigma + s * sin_t * theta) / jnp.where(sig_small, 1.0, denom)
-    ) / jnp.where(th_small, 1.0, theta2)
-    c_rot_nosig = (theta - sin_t) / jnp.where(th_small, 1.0, theta2 * theta)
+    # --- a = (s-1)/sigma, series 1 + s/2 + s^2/6 + s^3/24 ------------------
+    a_coef = jnp.where(
+        sig_small,
+        1.0 + sigma / 2.0 + sigma**2 / 6.0 + sigma**3 / 24.0,
+        (s - 1.0) / safe_sigma,
+    )
 
-    b_coef = jnp.where(
-        th_small,
-        jnp.where(sig_small, 0.5, 0.0),  # th->0: K~0 so b,c barely matter; keep finite
-        jnp.where(sig_small, b_rot_nosig, b_rot_sig),
+    # --- b ----------------------------------------------------------------
+    # (numerators use the raw sigma: b and c have no sigma division, and the
+    # sig_small branch of b_general is still selected below for theta >= 0.05)
+    b_general = (s * sigma * sin_t + theta * (1.0 - s * cos_t)) / (
+        safe_theta * c_den
     )
-    c_coef = jnp.where(
-        th_small,
-        jnp.where(sig_small, 1.0 / 6.0, 0.0),
-        jnp.where(sig_small, c_rot_nosig, c_rot_sig),
+    # th -> 0 limit: (s sigma + 1 - s)/sigma^2; sigma also small:
+    # series 1/2 + sigma/3 + sigma^2/8 - theta^2/24
+    b_th_small = jnp.where(
+        sig_small,
+        0.5 + sigma / 3.0 + sigma**2 / 8.0 - theta2 / 24.0,
+        (s * safe_sigma + 1.0 - s) / safe_sigma2,
     )
+    b_coef = jnp.where(th_small, b_th_small, b_general)
+
+    # --- c ----------------------------------------------------------------
+    c_general = (
+        a_coef - ((s * cos_t - 1.0) * sigma + s * sin_t * theta) / c_den
+    ) / safe_theta2
+    # th -> 0 limit: (s - 1 - s sigma + s sigma^2/2)/sigma^3; series
+    # 1/6 + sigma/8 + sigma^2/20 - theta^2/120
+    c_th_small = jnp.where(
+        sig_small,
+        1.0 / 6.0 + sigma / 8.0 + sigma**2 / 20.0 - theta2 / 120.0,
+        (s - 1.0 - s * safe_sigma + s * safe_sigma2 / 2.0) / (safe_sigma2 * safe_sigma),
+    )
+    c_coef = jnp.where(th_small, c_th_small, c_general)
     return a_coef[..., None, None] * eye + b_coef[..., None, None] * k + c_coef[..., None, None] * (k @ k)
 
 

@@ -61,6 +61,10 @@ class SyntheticSequence:
         if self.trajectory == "sideways":
             c = np.array([2.0 * t, 0.1 * np.sin(4 * np.pi * t), 0.0])
             yaw = 0.0
+        elif self.trajectory == "outback":
+            # out-and-back: revisits the start — exercises loop closing
+            c = np.array([3.0 * np.sin(np.pi * t), 0.05 * np.sin(2 * np.pi * t), 0.0])
+            yaw = 0.0
         elif self.trajectory == "forward":
             c = np.array([0.3 * np.sin(2 * np.pi * t), 0.0, 2.0 * t])
             yaw = 0.0

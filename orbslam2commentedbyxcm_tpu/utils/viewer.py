@@ -1,0 +1,88 @@
+"""Lightweight map/trajectory visualization (matplotlib, headless).
+
+Replaces the reference's Pangolin Viewer/MapDrawer/FrameDrawer stack
+(src/Viewer.cc, src/MapDrawer.cc, src/FrameDrawer.cc) with offline renders:
+a top-down map plot (points, keyframe frusta, covisibility edges, trajectory)
+and a frame overlay (keypoints + tracked matches + status line). Interactive
+GL windows are a non-goal on headless TPU hosts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def save_map_plot(system, path: str, gt_positions=None):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    m = system.map
+    fig, ax = plt.subplots(figsize=(8, 8))
+    pids = m.all_point_ids()
+    if len(pids):
+        xyz = m.pt_xyz[pids]
+        ax.scatter(xyz[:, 0], xyz[:, 2], s=1, c="k", alpha=0.3, label="map points")
+
+    kfs = sorted(m.good_keyframes(), key=lambda k: k.kf_id)
+    centers = np.array([kf.center for kf in kfs]) if kfs else np.zeros((0, 3))
+    if len(centers):
+        ax.plot(centers[:, 0], centers[:, 2], "b.-", ms=4, lw=1, label="keyframes")
+        # covisibility edges
+        idx = {kf.kf_id: i for i, kf in enumerate(kfs)}
+        for kf in kfs:
+            for nb, w in kf.covis.items():
+                if nb in idx and nb > kf.kf_id and w >= 30:
+                    a, b = centers[idx[kf.kf_id]], centers[idx[nb]]
+                    ax.plot([a[0], b[0]], [a[2], b[2]], "g-", lw=0.3, alpha=0.5)
+            for le in kf.loop_edges:
+                if le in idx:
+                    a, b = centers[idx[kf.kf_id]], centers[idx[le]]
+                    ax.plot([a[0], b[0]], [a[2], b[2]], "r-", lw=1.5)
+
+    traj = system.frame_trajectory()
+    if traj:
+        pos = np.array([np.linalg.inv(t)[:3, 3] for _, t in traj])
+        ax.plot(pos[:, 0], pos[:, 2], "c-", lw=0.8, alpha=0.8, label="trajectory")
+    if gt_positions is not None:
+        ax.plot(gt_positions[:, 0], gt_positions[:, 2], "m--", lw=0.8, label="ground truth")
+
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("z [m]")
+    ax.set_aspect("equal")
+    ax.legend(loc="best", fontsize=8)
+    ax.set_title(
+        f"KFs: {len(kfs)}  points: {m.n_valid_points()}  "
+        f"loops: {getattr(system.loop_closing, 'n_loops_closed', 0) if system.loop_closing else 0}"
+    )
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    import matplotlib.pyplot as plt2
+
+    plt2.close(fig)
+
+
+def save_frame_overlay(frame, path: str, image=None):
+    """Keypoints + tracked-point overlay (FrameDrawer::DrawFrame analogue)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8, 6))
+    if image is not None:
+        ax.imshow(image, cmap="gray")
+    uv = frame.uv[frame.valid]
+    tracked = frame.map_pt[frame.valid] >= 0
+    ax.scatter(uv[~tracked, 0], uv[~tracked, 1], s=6, facecolors="none",
+               edgecolors="y", lw=0.5, label="keypoints")
+    ax.scatter(uv[tracked, 0], uv[tracked, 1], s=8, facecolors="none",
+               edgecolors="lime", lw=0.8, label="tracked")
+    ax.set_title(f"frame {frame.id}: {int(tracked.sum())} tracked / {int(frame.valid.sum())} kps")
+    ax.legend(loc="lower right", fontsize=8)
+    ax.set_xlim(0, frame.camera.width)
+    ax.set_ylim(frame.camera.height, 0)
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)

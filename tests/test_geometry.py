@@ -90,6 +90,21 @@ def test_sim3_inverse(rng):
     np.testing.assert_allclose(np.asarray(m @ mi), np.tile(np.eye(4), (8, 1, 1)), atol=1e-4)
 
 
+def test_sim3_exp_matches_matrix_exponential(rng):
+    """Pin sim3_exp to expm of the 4x4 generator — the closed-form W
+    coefficients are easy to get wrong in a way log/exp roundtrips hide."""
+    import scipy.linalg as sla
+
+    for scale in (1.0, 0.1, 0.01, 1e-4):
+        xi = (rng.normal(0, scale, size=(20, 7))).astype(np.float32)
+        ours = np.asarray(geo.sim3_exp(jnp.asarray(xi)))
+        for i in range(20):
+            a = np.zeros((4, 4))
+            a[:3, :3] = np.asarray(geo.hat(jnp.asarray(xi[i, 3:6]))) + xi[i, 6] * np.eye(3)
+            a[:3, 3] = xi[i, :3]
+            np.testing.assert_allclose(ours[i], sla.expm(a), atol=5e-5)
+
+
 def test_sim3_pure_scale():
     xi = jnp.array([[0, 0, 0, 0, 0, 0, np.log(2.0)]], dtype=jnp.float32)
     m = np.asarray(geo.sim3_exp(xi))
