@@ -32,6 +32,14 @@ class Map:
         self.n_points = 0
 
         self.obs: dict[int, dict[int, int]] = {}    # pid -> {kf_id: feat_idx}
+        # native C++ observation/covisibility index mirrors self.obs and
+        # accelerates the O(points x observers) recounts (native/mapgraph.cpp)
+        try:
+            from orbslam2commentedbyxcm_tpu.native import MapGraph
+
+            self._native = MapGraph()
+        except Exception:
+            self._native = None
         self.keyframes: dict[int, KeyFrame] = {}
         self.erase_hooks: list = []                  # called with kf_id on deletion
         self.next_kf_id = 0
@@ -89,12 +97,16 @@ class Map:
     def add_observation(self, pid: int, kf_id: int, feat_idx: int):
         self.obs[pid][kf_id] = feat_idx
         self.keyframes[kf_id].map_pt[feat_idx] = pid
+        if self._native is not None:
+            self._native.add_observation(pid, kf_id, feat_idx)
 
     def erase_observation(self, pid: int, kf_id: int):
         o = self.obs.get(pid)
         if o is None or kf_id not in o:
             return
         idx = o.pop(kf_id)
+        if self._native is not None:
+            self._native.erase_observation(pid, kf_id)
         kf = self.keyframes.get(kf_id)
         if kf is not None and kf.map_pt[idx] == pid:
             kf.map_pt[idx] = -1
@@ -108,6 +120,8 @@ class Map:
         if not self.pt_valid[pid]:
             return
         self.pt_valid[pid] = False
+        if self._native is not None:
+            self._native.erase_point(pid)
         for kf_id, idx in list(self.obs.get(pid, {}).items()):
             kf = self.keyframes.get(kf_id)
             if kf is not None and kf.map_pt[idx] == pid:
@@ -122,6 +136,8 @@ class Map:
             kf = self.keyframes.get(kf_id)
             if kf_id not in self.obs.get(new_pid, {}):
                 self.obs[new_pid][kf_id] = idx
+                if self._native is not None:
+                    self._native.add_observation(new_pid, kf_id, idx)
                 if kf is not None:
                     kf.map_pt[idx] = new_pid
             else:
@@ -132,6 +148,8 @@ class Map:
         self.pt_valid[old_pid] = False
         self.pt_replaced_by[old_pid] = new_pid
         self.obs.pop(old_pid, None)
+        if self._native is not None:
+            self._native.erase_point(old_pid)
         self.update_point_descriptor(new_pid)
 
     def resolve_replaced(self, pid: int) -> int:
@@ -207,11 +225,16 @@ class Map:
     def update_connections(self, kf: KeyFrame, min_weight: int = 15):
         """Rebuild kf's covisibility edges from shared map points and update the
         spanning tree (KeyFrame::UpdateConnections, src/KeyFrame.cc:324)."""
-        counter: dict[int, int] = {}
-        for pid in kf.map_pt[kf.map_pt >= 0]:
-            for other_id in self.obs.get(int(pid), {}):
-                if other_id != kf.kf_id:
-                    counter[other_id] = counter.get(other_id, 0) + 1
+        if self._native is not None:
+            other, w = self._native.covisibility(kf.kf_id)
+            counter = dict(zip(other.tolist(), w.tolist()))
+        else:
+            counter = {}
+            for pid in kf.map_pt[kf.map_pt >= 0]:
+                for other_id in self.obs.get(int(pid), {}):
+                    if other_id != kf.kf_id:
+                        counter[other_id] = counter.get(other_id, 0) + 1
+        counter = {k: v for k, v in counter.items() if k in self.keyframes}
         if not counter:
             return
         best_id, best_w = max(counter.items(), key=lambda kv: kv[1])
@@ -287,6 +310,10 @@ class Map:
     # -- queries ----------------------------------------------------------
 
     def points_seen_by(self, kf_ids) -> np.ndarray:
+        kf_ids = list(kf_ids)
+        if self._native is not None:
+            pids = self._native.points_seen_by(kf_ids)
+            return pids[self.pt_valid[pids]]
         pids = set()
         for kf_id in kf_ids:
             kf = self.keyframes.get(kf_id)

@@ -240,12 +240,28 @@ class System:
         return [(kf.timestamp, kf.t_cw.copy()) for kf in kfs]
 
     def frame_trajectory(self):
-        return list(self.tracking.trajectory)
+        """[(timestamp, Tcw)] reconstructed through (possibly loop-corrected)
+        keyframe poses; bad keyframes are traversed via their stored relative
+        pose to the spanning-tree parent (reference SaveTrajectoryTUM)."""
+        out = []
+        for ts, ref_id, t_rel in self.tracking.trajectory:
+            kf = self.map.keyframes.get(ref_id)
+            t_acc = np.eye(4, dtype=np.float32)
+            hops = 0
+            while kf is not None and kf.bad and kf.parent is not None and hops < 64:
+                if kf.t_child_parent is not None:
+                    t_acc = t_acc @ kf.t_child_parent
+                kf = self.map.keyframes.get(kf.parent)
+                hops += 1
+            if kf is None:
+                continue
+            out.append((ts, (t_rel @ t_acc @ kf.t_cw).astype(np.float32)))
+        return out
 
     def save_trajectory_tum(self, path: str):
         """TUM format: timestamp tx ty tz qx qy qz qw (camera-to-world)."""
         with open(path, "w") as f:
-            for ts, t_cw in self.tracking.trajectory:
+            for ts, t_cw in self.frame_trajectory():
                 t_wc = np.linalg.inv(t_cw)
                 q = np.asarray(rot_to_quat(jnp.asarray(t_wc[:3, :3])))
                 t = t_wc[:3, 3]
@@ -268,7 +284,7 @@ class System:
     def save_trajectory_kitti(self, path: str):
         """KITTI format: 12 numbers per row (3x4 camera-to-world)."""
         with open(path, "w") as f:
-            for _, t_cw in self.tracking.trajectory:
+            for _, t_cw in self.frame_trajectory():
                 t_wc = np.linalg.inv(t_cw)
                 row = t_wc[:3].reshape(-1)
                 f.write(" ".join(f"{x:.9e}" for x in row) + "\n")

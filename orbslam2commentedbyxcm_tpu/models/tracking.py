@@ -111,6 +111,15 @@ def project_and_match(
     best_pt = jnp.argmin(d, axis=0).astype(jnp.int32)  # per feature
     best_d = jnp.min(d, axis=0)
     ok = (best_d <= max_dist) & feat_valid
+
+    # uniqueness: if several features picked the same point, keep only the
+    # best (strict tie-break by feature index) — duplicate assignments inflate
+    # covisibility weights and double-count BA edges.
+    n_feat = feat_desc.shape[0]
+    feat_iota = jnp.arange(n_feat, dtype=jnp.float32)
+    key = jnp.where(ok, best_d + feat_iota * 1e-5, jnp.inf)
+    point_min = jax.ops.segment_min(key, best_pt, num_segments=pt_desc.shape[0])
+    ok = ok & (key <= point_min[best_pt])
     return best_pt, best_d, ok, visible
 
 
@@ -137,7 +146,11 @@ class Tracking:
         self.last_kf_frame_id: int = -1
         self.frames_since_kf = 0
         self.localization_only = False
-        self.trajectory: list[tuple[float, np.ndarray]] = []  # (timestamp, Tcw)
+        # (timestamp, ref_kf_id, T_frame_relative_to_kf): like the reference
+        # (src/Tracking.cc:534-549), frame poses are stored relative to their
+        # reference keyframe so loop/GBA corrections retroactively improve the
+        # whole trajectory at save time (src/System.cc:360-414).
+        self.trajectory: list[tuple[float, int, np.ndarray]] = []
         self.n_last_inliers = 0
         self._init_seed = 0
 
@@ -159,7 +172,10 @@ class Tracking:
             pass
         self.last_frame = frame
         if self.state == TrackingState.OK:
-            self.trajectory.append((frame.timestamp, frame.t_cw.copy()))
+            ref = self.map.keyframes.get(self.ref_kf_id)
+            if ref is not None:
+                t_rel = frame.t_cw @ np.linalg.inv(ref.t_cw)
+                self.trajectory.append((frame.timestamp, self.ref_kf_id, t_rel))
         return self.state
 
     # -- initialization ----------------------------------------------------
@@ -487,9 +503,12 @@ class Tracking:
 
     def _create_new_keyframe(self, frame: Frame):
         kf = self.map.add_keyframe(frame)
+        kf.map_pt[:] = -1  # rebuilt strictly from accepted observations
+        seen = set()
         for i in np.nonzero(frame.map_pt >= 0)[0]:
             pid = int(frame.map_pt[i])
-            if self.map.pt_valid[pid]:
+            if pid not in seen and self.map.pt_valid[pid]:
+                seen.add(pid)
                 self.map.add_observation(pid, kf.kf_id, int(i))
                 self.map.update_point_descriptor(pid)
                 self.map.update_point_normal_depth(pid)

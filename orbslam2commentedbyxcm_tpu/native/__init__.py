@@ -1,0 +1,142 @@
+"""Native (C++) host-runtime components, loaded via ctypes.
+
+Builds lazily with g++ on first use and caches the shared object next to the
+sources. Python fallbacks exist for every consumer, so a missing toolchain
+degrades gracefully.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def _build(name: str) -> str | None:
+    src = os.path.join(_DIR, f"{name}.cpp")
+    lib = os.path.join(_DIR, f"lib{name}.so")
+    if os.path.exists(lib) and os.path.getmtime(lib) >= os.path.getmtime(src):
+        return lib
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", lib],
+            check=True, capture_output=True, timeout=120,
+        )
+        return lib
+    except (subprocess.SubprocessError, FileNotFoundError):
+        return None
+
+
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+
+
+class MapGraph:
+    """ctypes wrapper over native/mapgraph.cpp (observation + covisibility
+    index). Raises RuntimeError if the native library cannot be built."""
+
+    _lib = None
+
+    @classmethod
+    def _load(cls):
+        if cls._lib is not None:
+            return cls._lib
+        path = _build("mapgraph")
+        if path is None:
+            raise RuntimeError("native mapgraph unavailable (g++ build failed)")
+        lib = ctypes.CDLL(path)
+        lib.mg_create.restype = ctypes.c_void_p
+        lib.mg_destroy.argtypes = [ctypes.c_void_p]
+        lib.mg_clear.argtypes = [ctypes.c_void_p]
+        lib.mg_add_observation.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32]
+        lib.mg_erase_observation.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
+        lib.mg_erase_observation.restype = ctypes.c_int32
+        lib.mg_erase_point.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.mg_n_observations.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.mg_n_observations.restype = ctypes.c_int32
+        lib.mg_observations.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, _i64p, _i32p, ctypes.c_int32]
+        lib.mg_observations.restype = ctypes.c_int32
+        lib.mg_covisibility.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, _i64p, _i32p, ctypes.c_int32]
+        lib.mg_covisibility.restype = ctypes.c_int32
+        lib.mg_points_seen_by.argtypes = [
+            ctypes.c_void_p, _i64p, ctypes.c_int32, _i64p, ctypes.c_int32]
+        lib.mg_points_seen_by.restype = ctypes.c_int32
+        lib.mg_kf_points.argtypes = [ctypes.c_void_p, ctypes.c_int64, _i64p, ctypes.c_int32]
+        lib.mg_kf_points.restype = ctypes.c_int32
+        lib.mg_export_point_observers.argtypes = [
+            ctypes.c_void_p, _i64p, ctypes.c_int32, _i64p, _i32p, _i32p, ctypes.c_int32]
+        lib.mg_export_point_observers.restype = ctypes.c_int32
+        cls._lib = lib
+        return lib
+
+    def __init__(self):
+        self._l = self._load()
+        self._h = self._l.mg_create()
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._l.mg_destroy(self._h)
+            self._h = None
+
+    def clear(self):
+        self._l.mg_clear(self._h)
+
+    def add_observation(self, pid: int, kf_id: int, feat: int):
+        self._l.mg_add_observation(self._h, pid, kf_id, feat)
+
+    def erase_observation(self, pid: int, kf_id: int) -> int:
+        return self._l.mg_erase_observation(self._h, pid, kf_id)
+
+    def erase_point(self, pid: int):
+        self._l.mg_erase_point(self._h, pid)
+
+    def n_observations(self, pid: int) -> int:
+        return self._l.mg_n_observations(self._h, pid)
+
+    def observations(self, pid: int, cap: int = 256):
+        kf = np.empty(cap, np.int64)
+        ft = np.empty(cap, np.int32)
+        n = self._l.mg_observations(self._h, pid, kf, ft, cap)
+        return kf[:n], ft[:n]
+
+    def covisibility(self, kf_id: int, cap: int = 4096):
+        other = np.empty(cap, np.int64)
+        w = np.empty(cap, np.int32)
+        n = self._l.mg_covisibility(self._h, kf_id, other, w, cap)
+        return other[:n], w[:n]
+
+    def points_seen_by(self, kf_ids, cap: int = 1 << 17) -> np.ndarray:
+        kfs = np.ascontiguousarray(np.asarray(list(kf_ids), np.int64))
+        out = np.empty(cap, np.int64)
+        n = self._l.mg_points_seen_by(self._h, kfs, len(kfs), out, cap)
+        return out[:n]
+
+    def kf_points(self, kf_id: int, cap: int = 1 << 14) -> np.ndarray:
+        out = np.empty(cap, np.int64)
+        n = self._l.mg_kf_points(self._h, kf_id, out, cap)
+        return out[:n]
+
+    def export_point_observers(self, pids: np.ndarray, max_total: int = 1 << 18):
+        pids = np.ascontiguousarray(pids, np.int64)
+        out_kf = np.empty(max_total, np.int64)
+        out_ft = np.empty(max_total, np.int32)
+        seg = np.empty(len(pids) + 1, np.int32)
+        self._l.mg_export_point_observers(
+            self._h, pids, len(pids), out_kf, out_ft, seg, max_total
+        )
+        return out_kf, out_ft, seg
+
+
+def mapgraph_available() -> bool:
+    try:
+        MapGraph._load()
+        return True
+    except RuntimeError:
+        return False

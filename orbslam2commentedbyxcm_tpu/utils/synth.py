@@ -141,6 +141,107 @@ class SyntheticSequence:
         return depth.reshape(cam.height, cam.width).astype(np.float32)
 
 
+@dataclasses.dataclass
+class BoxSequence:
+    """Camera orbiting inside a textured box, looking outward.
+
+    Viewing direction rotates a full turn: views separated by more than the
+    FOV share no content, so the return to theta ~ 2*pi is a genuine loop
+    closure situation (unlike small out-and-back paths, where tracking simply
+    re-matches the old map through covisibility). Mono-friendly: the orbit
+    radius provides triangulation baseline.
+    """
+
+    camera: Camera
+    n_frames: int = 120
+    half_size: float = 8.0      # box half extent
+    radius: float = 2.0         # camera orbit radius
+    turns: float = 1.0          # fraction of full revolutions
+    seed: int = 0
+    tex_size: int = 1024
+
+    def __post_init__(self):
+        if cv2 is None:
+            raise RuntimeError("synthetic sequence rendering requires cv2")
+        rng = np.random.default_rng(self.seed)
+        h = self.half_size
+        # walls: (center, e1 (u axis), e2 (v axis)); normals point inward
+        self.walls = []
+        for c, e1 in (
+            (np.array([0, 0, h]), np.array([1, 0, 0])),    # +z wall
+            (np.array([h, 0, 0]), np.array([0, 0, -1.0])),  # +x wall
+            (np.array([0, 0, -h]), np.array([-1.0, 0, 0])), # -z wall
+            (np.array([-h, 0, 0]), np.array([0, 0, 1.0])),  # -x wall
+        ):
+            e2 = np.array([0, 1.0, 0])
+            self.walls.append((c.astype(np.float64), e1.astype(np.float64), e2,
+                               _make_texture(rng, self.tex_size)))
+        self.tex_scale = self.tex_size / (2 * h)
+
+    def pose(self, i: int) -> np.ndarray:
+        t = i / max(self.n_frames - 1, 1)
+        theta = 2 * np.pi * self.turns * t
+        c = self.radius * np.array([np.sin(theta), 0.0, np.cos(theta)])
+        c[1] = 0.1 * np.sin(4 * np.pi * t)  # slight vertical bob
+        # camera looks outward: +z axis of camera = (sin, 0, cos)
+        cy, sy = np.cos(theta), np.sin(theta)
+        r_wc = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], np.float64)
+        t_cw = np.eye(4, dtype=np.float32)
+        t_cw[:3, :3] = r_wc.T
+        t_cw[:3, 3] = -r_wc.T @ c
+        return t_cw
+
+    def render(self, i: int) -> np.ndarray:
+        cam = self.camera
+        k = cam.K.astype(np.float64)
+        t_cw = self.pose(i).astype(np.float64)
+        r, t = t_cw[:3, :3], t_cw[:3, 3]
+        img = np.full((cam.height, cam.width), -1.0, np.float32)
+        s, h = self.tex_scale, self.half_size
+        for c, e1, e2, tex in self.walls:
+            # homography tex(u_px, v_px) -> image: world = C + (u/s - h) e1 + (v/s - h) e2
+            m = np.column_stack([
+                r @ e1 / s,
+                r @ e2 / s,
+                r @ (c - h * e1 - h * e2) + t,
+            ])
+            hmg = k @ m
+            # only render walls in front: check the wall center projects with z>0
+            zc = (r @ c + t)[2]
+            if zc < 0.3:
+                continue
+            warped = cv2.warpPerspective(
+                tex, hmg, (cam.width, cam.height), flags=cv2.INTER_LINEAR,
+                borderMode=cv2.BORDER_CONSTANT, borderValue=-1.0,
+            )
+            img = np.where((warped >= 0) & (img < 0), warped, img)
+        return np.where(img < 0, 64.0, img).astype(np.float32)
+
+    def depth_map(self, i: int) -> np.ndarray:
+        cam = self.camera
+        k = cam.K.astype(np.float64)
+        t_cw = self.pose(i).astype(np.float64)
+        r, t = t_cw[:3, :3], t_cw[:3, 3]
+        us, vs = np.meshgrid(np.arange(cam.width), np.arange(cam.height))
+        rays = np.linalg.inv(k) @ np.stack([us.ravel() + 0.0, vs.ravel() + 0.0, np.ones(us.size)])
+        r_wc = r.T
+        d_w = r_wc @ rays
+        c_w = -r_wc @ t
+        h = self.half_size
+        depth = np.full(us.size, np.inf)
+        for cw, e1, e2, _ in self.walls:
+            n = np.cross(e1, e2)
+            denom = n @ d_w
+            lam = np.where(np.abs(denom) > 1e-9, (n @ (cw - c_w)) / np.where(np.abs(denom) > 1e-9, denom, 1.0), np.inf)
+            pw = c_w[:, None] + lam * d_w
+            local1 = (pw - cw[:, None]).T @ e1
+            local2 = (pw - cw[:, None]).T @ e2
+            inside = (np.abs(local1) <= h) & (np.abs(local2) <= h) & (lam > 0)
+            zc = (r @ pw + t[:, None])[2]
+            depth = np.where(inside & (zc < depth), zc, depth)
+        return depth.reshape(cam.height, cam.width).astype(np.float32)
+
+
 def default_camera(width=640, height=480) -> Camera:
     return Camera(fx=500.0, fy=500.0, cx=width / 2, cy=height / 2,
                   width=width, height=height, bf=40.0, fps=30.0)

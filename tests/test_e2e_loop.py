@@ -1,0 +1,58 @@
+"""End-to-end loop closing on a box-orbit RGB-D sequence.
+
+The camera orbits inside a textured box looking outward (views > FOV apart
+share nothing), accumulating real drift; returning past a full turn must
+trigger detection -> Sim3 -> correction -> essential graph -> global BA, and
+the keyframe-relative trajectory reconstruction must benefit retroactively.
+"""
+
+import numpy as np
+import pytest
+
+from orbslam2commentedbyxcm_tpu.models.system import System, Sensor
+from orbslam2commentedbyxcm_tpu.models.tracking import TrackingConfig
+from orbslam2commentedbyxcm_tpu.utils.camera import Camera
+from orbslam2commentedbyxcm_tpu.utils.evaluation import ate_rmse, positions_from_tcw
+from orbslam2commentedbyxcm_tpu.utils.synth import BoxSequence
+
+
+@pytest.fixture(scope="module")
+def loop_run():
+    cam = Camera(fx=250.0, fy=250.0, cx=160.0, cy=120.0, width=320, height=240,
+                 bf=20.0, th_depth=50.0)
+    seq = BoxSequence(camera=cam, n_frames=130, turns=1.3)
+    cfg = TrackingConfig(n_features=600, max_frames_between_kf=4,
+                         kf_tracked_ratio=0.95, motion_search_radius=20.0)
+    system = System(cam, Sensor.RGBD, config=cfg, enable_loop_closing=True)
+    results = []
+    for i in range(seq.n_frames):
+        p = system.track_rgbd(seq.render(i), seq.depth_map(i), i / 30.0)
+        results.append(p)
+        if system.loop_closing is not None:
+            system.loop_closing.consistency_th = 1
+    return seq, system, results
+
+
+def test_loop_is_closed(loop_run):
+    seq, system, results = loop_run
+    assert sum(p is not None for p in results) == seq.n_frames
+    assert system.loop_closing is not None
+    assert system.loop_closing.n_loops_closed >= 1, system.loop_closing.stats
+
+
+def test_loop_corrected_trajectory_accuracy(loop_run):
+    seq, system, results = loop_run
+    traj = system.frame_trajectory()
+    est = np.stack([t for _, t in traj])
+    gt = np.stack([seq.pose(int(round(ts * 30))) for ts, _ in traj])
+    ate = ate_rmse(positions_from_tcw(est), positions_from_tcw(gt), with_scale=False)
+    # ~12.5 m orbit; without closure drift is ~0.8 m (measured). The corrected,
+    # KF-relative-reconstructed trajectory must be far tighter.
+    assert ate < 0.20, f"ATE {ate:.3f} m"
+
+
+def test_loop_edge_recorded(loop_run):
+    seq, system, results = loop_run
+    n_loop_edges = sum(len(kf.loop_edges) for kf in system.map.good_keyframes())
+    # both endpoints record the edge, but one may be culled afterwards
+    assert n_loop_edges >= 1
