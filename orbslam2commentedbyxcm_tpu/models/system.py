@@ -221,6 +221,42 @@ class System:
     def shutdown(self):
         pass  # synchronous pipeline: nothing to join
 
+    # -- map checkpoint / restore (reference SaveMap/LoadMap TODO,
+    #    include/System.h:104-106 — implemented here) ----------------------
+
+    def save_map(self, path: str):
+        from orbslam2commentedbyxcm_tpu.models.map_io import save_map
+
+        save_map(self.map, path, vocabulary=self.vocabulary,
+                 trajectory=self.tracking.trajectory)
+
+    def load_map(self, path: str):
+        """Replace the current map with a checkpoint; the system comes up in
+        LOST state and relocalizes against the loaded map on the next frame."""
+        from orbslam2commentedbyxcm_tpu.models.map_io import load_map
+
+        m, voc, traj = load_map(path, self.cfg.scale_factor, self.cfg.n_levels)
+        self.map = m
+        self.local_mapping.map = m
+        self.local_mapping.recent_points = []
+        self.tracking.map = m
+        self.tracking.trajectory = traj
+        self.tracking.state = TrackingState.LOST
+        self.tracking.last_frame = None
+        self.tracking.velocity = None
+        if voc is not None:
+            self.vocabulary = voc
+        if self.vocabulary is not None:
+            self._wire_place_recognition()
+            from orbslam2commentedbyxcm_tpu.ops import bow
+
+            for kf in sorted(m.good_keyframes(), key=lambda x: x.kf_id):
+                words, groups, weights = bow.transform(self.vocabulary, kf.desc, kf.valid)
+                ids, vals = bow.bow_vector(words, weights, self.vocabulary.n_words)
+                kf.bow_vec = (ids, vals)
+                kf.bow_feat_nodes = groups
+                self.keyframe_db.add(kf.kf_id, ids, vals)
+
     # -- introspection ------------------------------------------------------
 
     def get_tracking_state(self) -> TrackingState:
