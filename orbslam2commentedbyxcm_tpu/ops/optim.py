@@ -137,38 +137,51 @@ def pose_optimization(
 
     inliers = mask
 
+    def eval_point(t, active, use_huber):
+        """One projection pass -> (robust cost, H, g). LM carries the best
+        point's (H, g) so each iteration costs a single evaluation (the
+        naive accept/reject loop projects twice per iteration, and this
+        whole solver is op-count-bound on TPU, not FLOP-bound)."""
+        r, j_pose, _, pc, stereo = _project_residual_jacobian(
+            t, pts_w, obs, fx, fy, cx, cy, bf
+        )
+        c2 = _chi2(r, inv_sigma2, stereo)
+        behind = pc[..., 2] <= 0
+        w = inv_sigma2 * active * (~behind).astype(jnp.float32)
+        if use_huber:
+            w = w * _huber_weight(c2, delta2)
+            d = jnp.sqrt(delta2)
+            e = jnp.sqrt(jnp.maximum(c2, 1e-12))
+            rho = jnp.where(c2 <= delta2, c2, 2.0 * d * e - delta2)
+        else:
+            rho = c2
+        err = jnp.sum(jnp.where(behind, 1e6, rho) * active)
+        jw = j_pose * w[..., None, None]
+        h = jnp.einsum("nij,nik->jk", jw, j_pose, precision="highest")
+        g = jnp.einsum("nij,ni->j", jw, r, precision="highest")
+        return err, h, g
+
     for rnd in range(n_rounds):
         use_huber = rnd < 2
         active = inliers.astype(jnp.float32)
 
         def lm_step(_, carry):
-            t, lam, err = carry
-            r, j_pose, _, pc, stereo = _project_residual_jacobian(
-                t, pts_w, obs, fx, fy, cx, cy, bf
-            )
-            c2 = _chi2(r, inv_sigma2, stereo)
-            w = inv_sigma2 * active
-            if use_huber:
-                w = w * _huber_weight(c2, delta2)
-            w = jnp.where(pc[..., 2] > 0, w, 0.0)
-            jw = j_pose * w[..., None, None]
-            h = jnp.einsum("nij,nik->jk", jw, j_pose, precision="highest")
-            g = jnp.einsum("nij,ni->j", jw, r, precision="highest")
+            t_best, h, g, lam, err_best = carry
             h_lm = h + lam * jnp.diag(jnp.diag(h)) + 1e-8 * jnp.eye(6)
-            # GN convention: r = obs - pred, J = dr/dxi -> solve (JtWJ) dx = -JtWr
             dx = -jnp.linalg.solve(h_lm, g)
-            t_new = se3_exp(dx) @ t
-            err_new, _ = robust_cost(t_new, active, use_huber)
-            accept = err_new < err
-            t = jnp.where(accept, t_new, t)
-            lam = jnp.where(accept, lam * 0.5, lam * 4.0)
-            lam = jnp.clip(lam, 1e-8, 1e6)
-            err = jnp.where(accept, err_new, err)
-            return (t, lam, err)
+            t_new = se3_exp(dx) @ t_best
+            err_new, h_new, g_new = eval_point(t_new, active, use_huber)
+            accept = err_new < err_best
+            t_best = jnp.where(accept, t_new, t_best)
+            h = jnp.where(accept, h_new, h)
+            g = jnp.where(accept, g_new, g)
+            err_best = jnp.where(accept, err_new, err_best)
+            lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-8, 1e6)
+            return (t_best, h, g, lam, err_best)
 
-        err0, _ = robust_cost(t_cw, active, use_huber)
-        t_cw, _, _ = jax.lax.fori_loop(
-            0, n_iters, lm_step, (t_cw, jnp.float32(1e-3), err0)
+        err0, h0, g0 = eval_point(t_cw, active, use_huber)
+        t_cw, _, _, _, _ = jax.lax.fori_loop(
+            0, n_iters, lm_step, (t_cw, h0, g0, jnp.float32(1e-3), err0)
         )
         # relabel
         _, c2 = robust_cost(t_cw, active, use_huber)

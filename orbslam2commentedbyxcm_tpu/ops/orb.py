@@ -184,6 +184,42 @@ def _moment_kernels(radius: int = PATCH_RADIUS):
     return (xs * mask).astype(np.float32), (ys * mask).astype(np.float32)
 
 
+def _gauss_moment_taps(radius: int = PATCH_RADIUS, sigma: float = 7.0):
+    """1D taps for Gaussian-weighted orientation moments.
+
+    m10 = (x g(x) g(y)) * I is exactly separable: rows with x*g(x), cols with
+    g(y). A Gaussian window is rotationally symmetric like the reference's
+    circular mask (IC_Angle), but separability makes the dense moment maps
+    ~100x cheaper than per-keypoint patch gathers on TPU.
+    """
+    xs = np.arange(-radius, radius + 1, dtype=np.float64)
+    g = np.exp(-0.5 * (xs / sigma) ** 2)
+    g = g / g.sum()
+    return g.astype(np.float32), (xs * g).astype(np.float32)
+
+
+def _gauss_moment_maps(blurred: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """XLA fallback for the fused kernel's moment outputs (shift-add form)."""
+    g, xg = _gauss_moment_taps()
+    r = len(g) // 2
+    h, w = blurred.shape
+    xpad = jnp.pad(blurred, ((0, 0), (r, r)), mode="edge")
+    rowg = jnp.zeros_like(blurred)
+    rowxg = jnp.zeros_like(blurred)
+    for k in range(len(g)):
+        sh = xpad[:, k : k + w]
+        rowg = rowg + float(g[k]) * sh
+        rowxg = rowxg + float(xg[k]) * sh
+    pg = jnp.pad(rowg, ((r, r), (0, 0)), mode="edge")
+    pxg = jnp.pad(rowxg, ((r, r), (0, 0)), mode="edge")
+    m10 = jnp.zeros_like(blurred)
+    m01 = jnp.zeros_like(blurred)
+    for k in range(len(g)):
+        m10 = m10 + float(g[k]) * pxg[k : k + h, :]
+        m01 = m01 + float(xg[k]) * pg[k : k + h, :]
+    return m10, m01
+
+
 def _keypoint_angles(padded: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray,
                      kx: np.ndarray, ky: np.ndarray) -> jnp.ndarray:
     """IC_Angle at keypoints only (reference src/ORBextractor.cc:59-117).
@@ -308,11 +344,12 @@ class ORBExtractor:
         if self.use_pallas:
             from orbslam2commentedbyxcm_tpu.ops.pallas_frontend import fused_frontend
 
-            blurred, nms_hi, nms_lo = fused_frontend(img, self.ini_th, self.min_th)
+            blurred, nms_hi, nms_lo, m10, m01 = fused_frontend(img, self.ini_th, self.min_th)
         else:
             blurred = _separable_blur(img, self._blur)
             s_hi, s_lo, _ = _fast_maps(img, self.ini_th, self.min_th)
             nms_hi, nms_lo = _nms3(s_hi), _nms3(s_lo)
+            m10, m01 = _gauss_moment_maps(blurred)
 
         # Border exclusion: descriptors/orientation need EDGE margin.
         ys = jax.lax.broadcasted_iota(jnp.int32, (hl, wl), 0)
@@ -363,10 +400,10 @@ class ORBExtractor:
         px = cell_x * cs + inner % cs
         response = top_vals.reshape(-1)[sel]
 
-        # One blur serves both orientation moments and descriptor sampling
-        # (blurred moments are markedly more stable under subpixel jitter).
+        # Orientation from the separable Gaussian moment maps (2 gathers/kp);
+        # blurred moments are markedly more stable under subpixel jitter.
+        angle = jnp.arctan2(m01[py, px], m10[py, px])
         padded = jnp.pad(blurred, EDGE_PAD, mode="reflect")
-        angle = _keypoint_angles(padded, px + EDGE_PAD, py + EDGE_PAD, self._kx, self._ky)
         desc = self._descriptors(padded, px + EDGE_PAD, py + EDGE_PAD, angle, wl + 2 * EDGE_PAD)
 
         scale = jnp.float32(self.scales[lvl])
