@@ -112,20 +112,32 @@ class LoopClosing:
             if ckf is None or ckf.bad:
                 continue
             # mutual descriptor matching between the two KFs' map points
+            # (SearchByBoW KF<->KF, src/ORBmatcher.cc:696: BoW grouping nodes
+            # gate the candidate set when both KFs carry them)
             my = np.nonzero(kf.map_pt >= 0)[0]
             their = np.nonzero(ckf.map_pt >= 0)[0]
             if len(my) < 20 or len(their) < 20:
                 continue
             # bucketed shapes: one compiled matcher for all candidate pairs
             bm, bt = bucket(len(my)), bucket(len(their))
-            d = matching.hamming_matrix(
-                jnp.asarray(pad_rows(kf.desc[my], bm)),
-                jnp.asarray(pad_rows(ckf.desc[their], bt)),
-            )
-            idx, dist, ok = matching.match_nn(
-                d, jnp.asarray(pad_mask(len(my), bm)), jnp.asarray(pad_mask(len(their), bt)),
-                None, max_dist=matching.TH_LOW, ratio=0.75, mutual=True,
-            )
+            if kf.bow_feat_nodes is not None and ckf.bow_feat_nodes is not None:
+                idx, dist, ok = matching.search_by_bow(
+                    jnp.asarray(pad_rows(kf.desc[my], bm)),
+                    jnp.asarray(pad_rows(kf.bow_feat_nodes[my].astype(np.int32), bm, -1)),
+                    jnp.asarray(pad_mask(len(my), bm)),
+                    jnp.asarray(pad_rows(ckf.desc[their], bt)),
+                    jnp.asarray(pad_rows(ckf.bow_feat_nodes[their].astype(np.int32), bt, -1)),
+                    jnp.asarray(pad_mask(len(their), bt)),
+                )
+            else:
+                d = matching.hamming_matrix(
+                    jnp.asarray(pad_rows(kf.desc[my], bm)),
+                    jnp.asarray(pad_rows(ckf.desc[their], bt)),
+                )
+                idx, dist, ok = matching.match_nn(
+                    d, jnp.asarray(pad_mask(len(my), bm)), jnp.asarray(pad_mask(len(their), bt)),
+                    None, max_dist=matching.TH_LOW, ratio=0.75, mutual=True,
+                )
             ok = np.asarray(ok)[: len(my)]
             if ok.sum() < 20:
                 continue

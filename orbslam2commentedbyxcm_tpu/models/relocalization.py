@@ -28,7 +28,7 @@ class Relocalizer:
     def relocalize(self, frame, tracking) -> bool:
         if self.db is None or self.voc is None:
             return False
-        words, _, weights = bow.transform(self.voc, frame.desc, frame.valid)
+        words, groups, weights = bow.transform(self.voc, frame.desc, frame.valid)
         ids, vals = bow.bow_vector(words, weights, self.voc.n_words)
         candidates = self.db.detect_relocalization_candidates(ids, vals, self.map)
         if not candidates:
@@ -39,18 +39,33 @@ class Relocalizer:
             kf = self.map.keyframes.get(kf_id)
             if kf is None or kf.bad:
                 continue
-            # match frame features against the candidate's map points
+            # match frame features against the candidate's map points; when the
+            # KF carries BoW grouping nodes, gate candidates by node equality
+            # (SearchByBoW, src/ORBmatcher.cc:228 — the reference reloc path)
             pids = np.unique(kf.map_pt[kf.map_pt >= 0])
             pids = pids[self.map.pt_valid[pids]]
             if len(pids) < 15:
                 continue
             bp = bucket(len(pids), 256)
             pt_desc = pad_rows(self.map.pt_desc[pids], bp)
-            d = matching.hamming_matrix(jnp.asarray(frame.desc), jnp.asarray(pt_desc))
-            idx, dist, ok = matching.match_nn(
-                d, jnp.asarray(frame.valid), jnp.asarray(pad_mask(len(pids), bp)), None,
-                max_dist=matching.TH_LOW, ratio=0.75,
-            )
+            if kf.bow_feat_nodes is not None:
+                # grouping node of each point = node of its observing feature
+                sel = np.array([self.map.obs[int(p)].get(kf_id, -1) for p in pids])
+                pt_grp = np.where(sel >= 0, kf.bow_feat_nodes[np.maximum(sel, 0)], -1)
+                idx, dist, ok = matching.search_by_bow(
+                    jnp.asarray(frame.desc), jnp.asarray(groups.astype(np.int32)),
+                    jnp.asarray(frame.valid),
+                    jnp.asarray(pt_desc),
+                    jnp.asarray(pad_rows(pt_grp.astype(np.int32), bp, -1)),
+                    jnp.asarray(pad_mask(len(pids), bp)),
+                    mutual=False,
+                )
+            else:
+                d = matching.hamming_matrix(jnp.asarray(frame.desc), jnp.asarray(pt_desc))
+                idx, dist, ok = matching.match_nn(
+                    d, jnp.asarray(frame.valid), jnp.asarray(pad_mask(len(pids), bp)), None,
+                    max_dist=matching.TH_LOW, ratio=0.75,
+                )
             ok = np.asarray(ok)
             if ok.sum() < 15:
                 continue
@@ -59,7 +74,7 @@ class Relocalizer:
             pts3d[ok] = self.map.pt_xyz[pids[idx[ok]]]
 
             self._key, sub = jax.random.split(self._key)
-            res = pnp.ransac_pnp(
+            res = pnp.ransac_epnp(
                 sub, jnp.asarray(pts3d), jnp.asarray(frame.uv_und),
                 jnp.asarray(ok), jnp.asarray(cam.K), jnp.asarray(frame.sigma2()),
             )

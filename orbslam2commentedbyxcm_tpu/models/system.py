@@ -205,7 +205,21 @@ class System:
 
     def deactivate_localization_mode(self):
         self.tracking.localization_only = False
+        self.tracking.vo_mode = False
         self.local_mapping.paused = False
+
+    def change_calibration(self, camera: Camera):
+        """Hot-swap camera intrinsics (reference Tracking::ChangeCalibration,
+        src/Tracking.cc:1735-1764): updates every consumer and invalidates the
+        motion model so the next frame re-anchors via reference-KF tracking."""
+        self.camera = camera
+        self.tracking.camera = camera
+        self.local_mapping.camera = camera
+        if self.loop_closing is not None:
+            self.loop_closing.camera = camera
+        if getattr(self.local_mapping, "relocalizer", None) is not None:
+            self.local_mapping.relocalizer.camera = camera
+        self.tracking.velocity = None
 
     def reset(self):
         self.map = Map()
@@ -217,6 +231,14 @@ class System:
         self.tracking.init_ref_frame = None
         self.tracking.velocity = None
         self.tracking.trajectory = []
+        self.tracking.vo_mode = False
+        if self.keyframe_db is not None:
+            self.keyframe_db.clear()
+            self.map.erase_hooks.append(self.keyframe_db.erase)
+        if self.loop_closing is not None:
+            self.loop_closing.map = self.map
+        if getattr(self.local_mapping, "relocalizer", None) is not None:
+            self.local_mapping.relocalizer.map = self.map
 
     def shutdown(self):
         pass  # synchronous pipeline: nothing to join

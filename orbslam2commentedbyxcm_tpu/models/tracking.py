@@ -146,6 +146,11 @@ class Tracking:
         self.last_kf_frame_id: int = -1
         self.frames_since_kf = 0
         self.localization_only = False
+        # visual-odometry fallback state for localization-only mode: true when
+        # the last frame tracked < 10 real map points and the pose is carried
+        # by temporal depth points only (reference mbVO, src/Tracking.cc:381)
+        self.vo_mode = False
+        self._temporal: tuple | None = None  # packed temporal points of last frame
         # (timestamp, ref_kf_id, T_frame_relative_to_kf): like the reference
         # (src/Tracking.cc:534-549), frame poses are stored relative to their
         # reference keyframe so loop/GBA corrections retroactively improve the
@@ -311,7 +316,8 @@ class Tracking:
     # -- steady-state tracking --------------------------------------------
 
     def _track_normal(self, frame: Frame) -> bool:
-        cfg = self.cfg
+        if self.localization_only:
+            return self._track_localization_only(frame)
         ok = False
         if self.velocity is not None and self.state == TrackingState.OK:
             ok = self._track_with_motion_model(frame)
@@ -334,12 +340,61 @@ class Tracking:
             self.velocity = frame.t_cw @ np.linalg.inv(self.last_frame.t_cw)
         self.frames_since_kf += 1
 
-        if not self.localization_only and self._need_new_keyframe(frame):
+        if self._need_new_keyframe(frame):
             self._create_new_keyframe(frame)
         return True
 
-    def _gather_points(self, pids: np.ndarray, cap: int):
-        """Pack map-point attributes for `pids` into fixed-cap device arrays."""
+    def _track_localization_only(self, frame: Frame) -> bool:
+        """Localization-only tracking with the visual-odometry fallback
+        (reference Track() mbOnlyTracking branch, src/Tracking.cc:381-441):
+        with enough map matches, track normally; in VO mode, compute both a
+        VO pose from temporal points AND a relocalization, preferring the
+        relocalization when it succeeds."""
+        ok = False
+        if self.state == TrackingState.LOST:
+            ok = self._relocalize(frame)
+            if ok:
+                self.vo_mode = False
+        elif self.vo_mode:
+            ok_vo = False
+            vo_pose = vo_map = None
+            if self.velocity is not None:
+                ok_vo = self._track_with_motion_model(frame)
+                vo_pose, vo_map = frame.t_cw.copy(), frame.map_pt.copy()
+            ok_reloc = self._relocalize(frame)
+            if ok_reloc:
+                self.vo_mode = False
+                ok = True
+            elif ok_vo:
+                frame.set_pose(vo_pose)
+                frame.map_pt = vo_map
+                ok = True
+        else:
+            if self.velocity is not None:
+                ok = self._track_with_motion_model(frame)
+            if not ok:
+                ok = self._track_reference_keyframe(frame)
+        if not ok:
+            return False
+
+        # local-map refinement only while anchored to the map (ref :449-456)
+        if not self.vo_mode:
+            if not self._track_local_map(frame):
+                self.velocity = None
+                return False
+
+        if self.last_frame is not None:
+            self.velocity = frame.t_cw @ np.linalg.inv(self.last_frame.t_cw)
+        self.frames_since_kf += 1
+        return True
+
+    def _gather_points(self, pids: np.ndarray, cap: int, extra=None):
+        """Pack map-point attributes for `pids` into fixed-cap device arrays.
+
+        `extra`, when given, is a (xyz, desc, normal, dmin, dmax) tuple of
+        temporal points (localization-only VO, reference UpdateLastFrame
+        src/Tracking.cc:893) appended after the real points; their slots map
+        to pid -2 ("matched, but not a map point")."""
         m = self.map
         n = min(len(pids), cap)
         pids = pids[:n]
@@ -357,13 +412,25 @@ class Tracking:
         mask[:n] = True
         slot_to_pid = np.full(cap, -1, np.int64)
         slot_to_pid[:n] = pids
+        if extra is not None:
+            xyz_e, desc_e, normal_e, dmin_e, dmax_e = extra
+            ne = min(len(xyz_e), cap - n)
+            xyz[n:n + ne] = xyz_e[:ne]
+            desc[n:n + ne] = desc_e[:ne]
+            normal[n:n + ne] = normal_e[:ne]
+            dmin[n:n + ne] = dmin_e[:ne]
+            dmax[n:n + ne] = dmax_e[:ne]
+            mask[n:n + ne] = True
+            slot_to_pid[n:n + ne] = -2
         return xyz, desc, normal, dmin, dmax, mask, slot_to_pid
 
     def _match_and_optimize(self, frame: Frame, pids, t_pred, radius, cap=LOCAL_POINT_CAP,
-                            max_dist=matching.TH_HIGH, keep_existing=False):
+                            max_dist=matching.TH_HIGH, keep_existing=False, extra=None):
         cfg = self.cfg
         cam = self.camera
-        xyz, desc, normal, dmin, dmax, mask, slot_to_pid = self._gather_points(pids, cap)
+        xyz, desc, normal, dmin, dmax, mask, slot_to_pid = self._gather_points(
+            pids, cap, extra=extra
+        )
         best_pt, best_d, ok, visible = project_and_match(
             jnp.asarray(xyz), jnp.asarray(desc), jnp.asarray(normal),
             jnp.asarray(dmin), jnp.asarray(dmax), jnp.asarray(mask),
@@ -385,12 +452,17 @@ class Tracking:
         vis_pids = slot_to_pid[np.nonzero(vis_slots)[0]]
         self.map.pt_visible[vis_pids[vis_pids >= 0]] += 1
 
-        # pose optimization over matched points
-        matched = matched_pid >= 0
+        # pose optimization over matched points (-2 slots = temporal VO points:
+        # they constrain the pose but are not map points)
+        real = matched_pid >= 0
+        temp = matched_pid == -2
+        matched = real | temp
         if matched.sum() < 3:
             return 0, matched
+        best_pt_np = np.asarray(best_pt)
         pt_w = np.zeros((frame.capacity, 3), np.float32)
-        pt_w[matched] = self.map.pt_xyz[matched_pid[matched]]
+        pt_w[real] = self.map.pt_xyz[matched_pid[real]]
+        pt_w[temp] = xyz[best_pt_np[temp]]
         obs = frame.stereo_obs()
         res = optim.pose_optimization(
             jnp.asarray(frame.t_cw), jnp.asarray(pt_w), jnp.asarray(obs),
@@ -403,7 +475,41 @@ class Tracking:
         frame.is_outlier = matched & ~inliers
         found_pids = frame.map_pt[frame.map_pt >= 0]
         self.map.pt_found[found_pids] += 1
+        # real-map inlier count, excluding temporal VO points (reference
+        # nmatchesMap, src/Tracking.cc:1010)
+        self._last_n_map = int((frame.map_pt >= 0).sum())
         return int(res.n_inliers), inliers
+
+    def _update_last_frame_temporal(self):
+        """Spawn temporal 3D points from the last frame's close stereo/RGB-D
+        depth so localization-only VO survives unmapped regions (reference
+        UpdateLastFrame, src/Tracking.cc:893-960: closest 100 or all closer
+        than ThDepth)."""
+        lf = self.last_frame
+        self._temporal = None
+        if lf is None or not np.any(lf.depth > 0):
+            return
+        cam = self.camera
+        th = self.cfg.depth_th * cam.b if cam.b > 0 else self.cfg.depth_th
+        sel = np.nonzero((lf.depth > 0) & lf.valid & (lf.map_pt < 0))[0]
+        if len(sel) == 0:
+            return
+        order = sel[np.argsort(lf.depth[sel])]
+        keep = order[(lf.depth[order] <= th) | (np.arange(len(order)) < 100)]
+        t_wc = np.linalg.inv(lf.t_cw)
+        z = lf.depth[keep]
+        u, v = lf.uv_und[keep, 0], lf.uv_und[keep, 1]
+        pc = np.stack([(u - cam.cx) / cam.fx * z, (v - cam.cy) / cam.fy * z, z], -1)
+        pw = pc @ t_wc[:3, :3].T + t_wc[:3, 3]
+        d = np.linalg.norm(pw - lf.center, axis=-1)
+        sf = lf.scale_factor
+        dmax = d * sf ** lf.level[keep]
+        dmin = dmax / sf ** (lf.n_levels - 1)
+        normal = (pw - lf.center) / np.maximum(d[:, None], 1e-9)
+        self._temporal = (
+            pw.astype(np.float32), lf.desc[keep], normal.astype(np.float32),
+            dmin.astype(np.float32), dmax.astype(np.float32),
+        )
 
     def _track_with_motion_model(self, frame: Frame) -> bool:
         # resolve replaced points in last frame (CheckReplacedInLastFrame :819)
@@ -411,13 +517,21 @@ class Tracking:
         for i in np.nonzero(lf.map_pt >= 0)[0]:
             lf.map_pt[i] = self.map.resolve_replaced(int(lf.map_pt[i]))
         pids = np.unique(lf.map_pt[lf.map_pt >= 0])
-        if len(pids) < 10:
+        extra = None
+        if self.localization_only:
+            self._update_last_frame_temporal()
+            extra = self._temporal
+        if len(pids) < 10 and extra is None:
             return False
         t_pred = (self.velocity @ lf.t_cw).astype(np.float32)
         frame.set_pose(t_pred)
         n, _ = self._match_and_optimize(
-            frame, pids, t_pred, self.cfg.motion_search_radius
+            frame, pids, t_pred, self.cfg.motion_search_radius, extra=extra
         )
+        if self.localization_only:
+            # VO mode when the pose rests on < 10 real map points (ref :1010)
+            self.vo_mode = self._last_n_map < 10
+            return n >= 20
         return n >= self.cfg.min_track_inliers
 
     def _track_reference_keyframe(self, frame: Frame) -> bool:
@@ -429,10 +543,50 @@ class Tracking:
             return False
         t_pred = (self.last_frame.t_cw if self.last_frame is not None else kf.t_cw)
         frame.set_pose(t_pred.astype(np.float32))
-        # wider search: no motion prior (reference uses BoW matching here; a
-        # wide-window projection search fills the same role on device)
+        # BoW-node-constrained matching against the reference KF when a
+        # vocabulary is wired (reference SearchByBoW, src/Tracking.cc:850);
+        # wide-window projection search otherwise
+        if self._track_ref_kf_bow(frame, kf):
+            return True
         n, _ = self._match_and_optimize(frame, pids, frame.t_cw, radius=30.0)
         return n >= self.cfg.min_track_inliers
+
+    def _track_ref_kf_bow(self, frame: Frame, kf) -> bool:
+        voc = getattr(getattr(self.local_mapper, "relocalizer", None), "voc", None)
+        if voc is None or kf.bow_feat_nodes is None:
+            return False
+        from orbslam2commentedbyxcm_tpu.ops import bow
+
+        words, groups, _ = bow.transform(voc, frame.desc, frame.valid)
+        idx, dist, ok = matching.search_by_bow(
+            jnp.asarray(frame.desc), jnp.asarray(groups.astype(np.int32)),
+            jnp.asarray(frame.valid),
+            jnp.asarray(kf.desc), jnp.asarray(kf.bow_feat_nodes.astype(np.int32)),
+            jnp.asarray(kf.valid & (kf.map_pt >= 0)),
+            angle_a=jnp.asarray(frame.angle), angle_b=jnp.asarray(kf.angle),
+            ratio=0.7,
+        )
+        ok = np.asarray(ok)
+        idx = np.asarray(idx)
+        matched_pid = np.where(ok, kf.map_pt[idx], -1)
+        if (matched_pid >= 0).sum() < 15:
+            return False
+        frame.map_pt = matched_pid
+        matched = matched_pid >= 0
+        cam = self.camera
+        pt_w = np.zeros((frame.capacity, 3), np.float32)
+        pt_w[matched] = self.map.pt_xyz[matched_pid[matched]]
+        res = optim.pose_optimization(
+            jnp.asarray(frame.t_cw), jnp.asarray(pt_w), jnp.asarray(frame.stereo_obs()),
+            jnp.asarray(matched), jnp.asarray(frame.inv_sigma2()),
+            cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+        )
+        frame.set_pose(np.asarray(res.t_cw))
+        inliers = np.asarray(res.inliers)
+        frame.map_pt = np.where(inliers, frame.map_pt, -1)
+        frame.is_outlier = matched & ~inliers
+        self._last_n_map = int((frame.map_pt >= 0).sum())
+        return int(res.n_inliers) >= self.cfg.min_track_inliers
 
     def _relocalize(self, frame: Frame) -> bool:
         if self.local_mapper is None or getattr(self.local_mapper, "relocalizer", None) is None:

@@ -147,6 +147,39 @@ def rotation_consistency(
     return ok & in_top
 
 
+def group_mask(group_a: jnp.ndarray, group_b: jnp.ndarray) -> jnp.ndarray:
+    """(N, M) candidate mask: same vocabulary-tree grouping node.
+
+    Device form of the DBoW2 FeatureVector walk in SearchByBoW
+    (src/ORBmatcher.cc:228/:696): the reference intersects the two feature
+    vectors node by node; here the node-equality matrix gates the one-shot
+    Hamming matmul, which is the same candidate set."""
+    return group_a[:, None] == group_b[None, :]
+
+
+def search_by_bow(
+    desc_a: jnp.ndarray, group_a: jnp.ndarray, valid_a: jnp.ndarray,
+    desc_b: jnp.ndarray, group_b: jnp.ndarray, valid_b: jnp.ndarray,
+    angle_a: jnp.ndarray | None = None, angle_b: jnp.ndarray | None = None,
+    max_dist: float = TH_LOW, ratio: float = 0.75, mutual: bool = True,
+):
+    """BoW-node-constrained matching (SearchByBoW, src/ORBmatcher.cc:228 for
+    KF<->frame, :696 for KF<->KF). Returns (idx_b, dist, ok) over rows of a.
+
+    `group_*` are the per-feature vocabulary grouping nodes (ops/bow.transform
+    second output; reference FeatureVector with levelsup). Features outside
+    any node (-1) never match.
+    """
+    d = hamming_matrix(desc_a, desc_b)
+    m = group_mask(group_a, group_b) & (group_a >= 0)[:, None]
+    idx, dist, ok = match_nn(
+        d, valid_a, valid_b, m, max_dist=max_dist, ratio=ratio, mutual=mutual
+    )
+    if angle_a is not None and angle_b is not None:
+        ok = rotation_consistency(angle_a, angle_b, idx, ok)
+    return idx, dist, ok
+
+
 def search_for_initialization(
     feats_a,
     feats_b,

@@ -4,10 +4,14 @@ Replaces the reference's Pangolin Viewer/MapDrawer/FrameDrawer stack
 (src/Viewer.cc, src/MapDrawer.cc, src/FrameDrawer.cc) with offline renders:
 a top-down map plot (points, keyframe frusta, covisibility edges, trajectory)
 and a frame overlay (keypoints + tracked matches + status line). Interactive
-GL windows are a non-goal on headless TPU hosts.
+GL windows are a non-goal on headless TPU hosts; the `Viewer` class instead
+emits periodic PNG frames to a directory (usable as a live view over any
+file watcher, or assembled into a video).
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
@@ -63,7 +67,70 @@ def save_map_plot(system, path: str, gt_positions=None):
     plt2.close(fig)
 
 
-def save_frame_overlay(frame, path: str, image=None):
+class FrameDrawer:
+    """Per-frame tracking snapshot + overlay rendering (reference
+    src/FrameDrawer.cc: Update copies tracking state, DrawFrame renders
+    keypoints/matches, DrawTextInfo prints state/KF/MP/match counts)."""
+
+    def __init__(self, system):
+        self.system = system
+        self.frame = None
+        self.image = None
+
+    def update(self, frame, image=None):
+        self.frame = frame
+        self.image = image
+
+    def text_info(self) -> str:
+        sys_ = self.system
+        state = sys_.get_tracking_state().name
+        n_kf = len(sys_.map.good_keyframes())
+        n_mp = sys_.map.n_valid_points()
+        return f"{state} | KFs: {n_kf} | MPs: {n_mp} | matches: {sys_.n_tracked_points()}"
+
+    def draw(self, path: str):
+        if self.frame is None:
+            return
+        save_frame_overlay(self.frame, path, image=self.image,
+                           title_suffix="  " + self.text_info())
+
+
+class MapDrawer:
+    """Map rendering (reference src/MapDrawer.cc: DrawMapPoints,
+    DrawKeyFrames, covisibility graph + spanning tree + loop edges,
+    DrawCurrentCamera)."""
+
+    def __init__(self, system):
+        self.system = system
+
+    def draw(self, path: str, gt_positions=None):
+        save_map_plot(self.system, path, gt_positions=gt_positions)
+
+
+class Viewer:
+    """Periodic renderer (reference src/Viewer.cc render loop at ~30 fps —
+    here: every `every` tracked frames, write map + frame PNGs to out_dir)."""
+
+    def __init__(self, system, out_dir: str, every: int = 30):
+        self.system = system
+        self.out_dir = out_dir
+        self.every = max(1, every)
+        self.frame_drawer = FrameDrawer(system)
+        self.map_drawer = MapDrawer(system)
+        self._count = 0
+        os.makedirs(out_dir, exist_ok=True)
+
+    def update(self, frame, image=None):
+        """Call once per tracked frame (the reference wires FrameDrawer::Update
+        from Tracking::Track)."""
+        self.frame_drawer.update(frame, image)
+        self._count += 1
+        if self._count % self.every == 0:
+            self.map_drawer.draw(os.path.join(self.out_dir, f"map_{self._count:06d}.png"))
+            self.frame_drawer.draw(os.path.join(self.out_dir, f"frame_{self._count:06d}.png"))
+
+
+def save_frame_overlay(frame, path: str, image=None, title_suffix: str = ""):
     """Keypoints + tracked-point overlay (FrameDrawer::DrawFrame analogue)."""
     import matplotlib
 
@@ -79,7 +146,11 @@ def save_frame_overlay(frame, path: str, image=None):
                edgecolors="y", lw=0.5, label="keypoints")
     ax.scatter(uv[tracked, 0], uv[tracked, 1], s=8, facecolors="none",
                edgecolors="lime", lw=0.8, label="tracked")
-    ax.set_title(f"frame {frame.id}: {int(tracked.sum())} tracked / {int(frame.valid.sum())} kps")
+    ax.set_title(
+        f"frame {frame.id}: {int(tracked.sum())} tracked / {int(frame.valid.sum())} kps"
+        + title_suffix,
+        fontsize=9,
+    )
     ax.legend(loc="lower right", fontsize=8)
     ax.set_xlim(0, frame.camera.width)
     ax.set_ylim(frame.camera.height, 0)

@@ -79,6 +79,49 @@ class TestBow:
         np.testing.assert_array_equal(w1, w2)
 
 
+class TestSearchByBow:
+    def test_group_gating_matches_and_blocks(self, rng):
+        """BoW-node gating: perturbed copies of the same descriptors match
+        within their grouping node; pairs in different nodes never match even
+        if Hamming-close."""
+        from orbslam2commentedbyxcm_tpu.ops import matching
+
+        desc_a = random_desc(rng, 64)
+        desc_b = perturb_desc(rng, desc_a, 8)  # ~8-bit noise, well under TH_LOW
+        grp_a = (np.arange(64) % 7).astype(np.int32)
+        grp_b = grp_a.copy()
+        valid = np.ones(64, bool)
+        idx, dist, ok = matching.search_by_bow(
+            jnp.asarray(desc_a), jnp.asarray(grp_a), jnp.asarray(valid),
+            jnp.asarray(desc_b), jnp.asarray(grp_b), jnp.asarray(valid),
+        )
+        ok = np.asarray(ok)
+        idx = np.asarray(idx)
+        assert ok.sum() >= 55  # near-duplicate descriptors in same node match
+        assert (idx[ok] == np.nonzero(ok)[0]).mean() > 0.9
+
+        # rotate groups of b: identical descriptors now sit in different nodes
+        grp_b2 = ((grp_a + 1) % 7).astype(np.int32)
+        _, _, ok2 = matching.search_by_bow(
+            jnp.asarray(desc_a), jnp.asarray(grp_a), jnp.asarray(valid),
+            jnp.asarray(desc_b), jnp.asarray(grp_b2), jnp.asarray(valid),
+        )
+        # random cross-node descriptors are ~128 bits apart: nothing matches
+        assert int(np.asarray(ok2).sum()) == 0
+
+    def test_unassigned_features_never_match(self, rng):
+        from orbslam2commentedbyxcm_tpu.ops import matching
+
+        desc = random_desc(rng, 32)
+        grp = np.full(32, -1, np.int32)
+        valid = np.ones(32, bool)
+        _, _, ok = matching.search_by_bow(
+            jnp.asarray(desc), jnp.asarray(grp), jnp.asarray(valid),
+            jnp.asarray(desc), jnp.asarray(grp), jnp.asarray(valid),
+        )
+        assert int(np.asarray(ok).sum()) == 0
+
+
 class TestPnP:
     def make(self, rng, n=100, outliers=0.0, noise=0.5):
         pts = np.stack(
@@ -114,6 +157,41 @@ class TestPnP:
         assert int(res.n_inliers) > 80
         err = np.asarray(geo.se3_log(jnp.asarray(np.asarray(res.t_cw) @ np.linalg.inv(t_gt), dtype=jnp.float32)))
         assert np.linalg.norm(err) < 0.05, np.linalg.norm(err)
+
+    def test_epnp_clean(self, rng):
+        pts, uv, t_gt = self.make(rng)
+        res = pnp.ransac_epnp(
+            jax.random.PRNGKey(0), jnp.asarray(pts), jnp.asarray(uv),
+            jnp.ones(len(pts), bool), jnp.asarray(K), jnp.ones(len(pts)),
+        )
+        assert bool(res.success)
+        err = np.asarray(geo.se3_log(jnp.asarray(np.asarray(res.t_cw) @ np.linalg.inv(t_gt), dtype=jnp.float32)))
+        assert np.linalg.norm(err) < 0.02, np.linalg.norm(err)
+
+    def test_epnp_outliers(self, rng):
+        pts, uv, t_gt = self.make(rng, n=150, outliers=0.4)
+        res = pnp.ransac_epnp(
+            jax.random.PRNGKey(1), jnp.asarray(pts), jnp.asarray(uv),
+            jnp.ones(len(pts), bool), jnp.asarray(K), jnp.ones(len(pts)),
+        )
+        assert bool(res.success)
+        assert int(res.n_inliers) > 70
+        err = np.asarray(geo.se3_log(jnp.asarray(np.asarray(res.t_cw) @ np.linalg.inv(t_gt), dtype=jnp.float32)))
+        assert np.linalg.norm(err) < 0.05, np.linalg.norm(err)
+
+    def test_epnp_minimal_6pt_lane(self, rng):
+        """A single 6-point EPnP lane (the RANSAC hypothesis shape) recovers
+        the pose from noiseless correspondences."""
+        pts, uv, t_gt = self.make(rng, n=6, noise=0.0)
+        kinv = np.linalg.inv(K)
+        uv1 = np.concatenate([uv, np.ones((6, 1), np.float32)], axis=1)
+        uvn = (uv1 @ kinv.T)[:, :2]
+        r, t, err = pnp._epnp_pose(
+            jnp.asarray(pts), jnp.asarray(uvn), jnp.ones(6, jnp.float32)
+        )
+        assert float(err) < 1e-6, float(err)
+        np.testing.assert_allclose(np.asarray(r), t_gt[:3, :3], atol=1e-3)
+        np.testing.assert_allclose(np.asarray(t), t_gt[:3, 3], atol=1e-3)
 
     def test_pnp_degenerate_fails_gracefully(self, rng):
         pts, uv, t_gt = self.make(rng, n=20)
