@@ -7,6 +7,14 @@ program — the same composition as the reference's per-frame hot loops 1-3
 (SURVEY.md §3.2: ORBextractor::operator(), SearchByProjection,
 PoseOptimization).
 
+Methodology: N frames are chained ON DEVICE with lax.scan — each step tracks a
+different image and receives the previous step's estimated pose as its motion
+prior, exactly like sequential tracking. Throughput is the differential
+(N_long - N_short) / (t_long - t_short), which cancels the fixed per-call
+cost (on the hosted "axon" test tunnel that fixed cost is ~0.2 s of RPC
+round-trip, an artifact of the tunnel, not of the framework; a production
+host enqueues frames asynchronously and pays it once).
+
 Baseline: the reference publishes no numbers (BASELINE.md); its README claims
 real-time (= 30 fps camera rate) at this exact config on an i7 CPU
 (/root/reference/README.md:65, src/Tracking.cc:129-137). vs_baseline is
@@ -16,32 +24,57 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
-import sys
 import time
 
 import numpy as np
 
+N_SHORT = 8
+N_LONG = 72
+
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     import __graft_entry__ as graft
 
     fn, args = graft.entry()
-    step = jax.jit(fn)
-    args = [jax.device_put(a) for a in args]
+    img0, *pt_args, t_init = args
+    # distinct image content per frame (circular shifts of a textured base)
+    imgs = np.stack([np.roll(img0, 9 * i, axis=1) for i in range(N_LONG)])
+    imgs = jax.device_put(jnp.asarray(imgs))
+    pt_args = [jax.device_put(jnp.asarray(a)) for a in pt_args]
+    t_init = jax.device_put(jnp.asarray(t_init))
 
-    # compile + warmup
-    out = step(*args)
-    jax.block_until_ready(out)
+    def make(n):
+        @jax.jit
+        def run(images, t0):
+            def step(t_prev, im):
+                t_new, n_inl = fn(im, *pt_args, t_prev)
+                # sequential dependency: next frame starts from this pose (the
+                # motion prior), like real tracking
+                return t_new, n_inl
+            t_fin, inl = jax.lax.scan(step, t0, images[:n])
+            return t_fin, inl
+        return run
 
-    n_iters = 30
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = step(*args)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    fps = n_iters / dt
+    run_short, run_long = make(N_SHORT), make(N_LONG)
+    # compile + warm both programs
+    for r in (run_short, run_long):
+        out = r(imgs, t_init)
+        np.asarray(out[0])  # full sync (block_until_ready is deferred on axon)
+
+    times = {}
+    for name, r in (("short", run_short), ("long", run_long)):
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = r(imgs, t_init)
+            np.asarray(out[0])
+            best = min(best, time.perf_counter() - t0)
+        times[name] = best
+
+    fps = (N_LONG - N_SHORT) / max(times["long"] - times["short"], 1e-6)
 
     baseline_fps = 30.0  # reference "real-time on i7" claim; see module docstring
     print(

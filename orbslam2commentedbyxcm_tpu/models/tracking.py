@@ -114,11 +114,16 @@ def project_and_match(
 
     # uniqueness: if several features picked the same point, keep only the
     # best (strict tie-break by feature index) — duplicate assignments inflate
-    # covisibility weights and double-count BA edges.
+    # covisibility weights and double-count BA edges. Implemented as a masked
+    # min over the already-materialized (P, N) distance matrix rather than a
+    # segment_min scatter (TPU serializes scatters: measured 3 ms -> ~0).
     n_feat = feat_desc.shape[0]
     feat_iota = jnp.arange(n_feat, dtype=jnp.float32)
     key = jnp.where(ok, best_d + feat_iota * 1e-5, jnp.inf)
-    point_min = jax.ops.segment_min(key, best_pt, num_segments=pt_desc.shape[0])
+    chosen = (
+        jax.lax.broadcasted_iota(jnp.int32, d.shape, 0) == best_pt[None, :]
+    )  # (P, N): feature n picked point p
+    point_min = jnp.min(jnp.where(chosen, key[None, :], jnp.inf), axis=1)
     ok = ok & (key <= point_min[best_pt])
     return best_pt, best_d, ok, visible
 
