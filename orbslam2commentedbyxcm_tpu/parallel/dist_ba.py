@@ -41,6 +41,11 @@ from orbslam2commentedbyxcm_tpu.utils.geometry import se3_exp
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"mesh wants {n_devices} devices but platform "
+                f"'{devs[0].platform}' exposes only {len(devs)}"
+            )
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
 
