@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--out-prefix", default="")
     args = ap.parse_args()
 
+    from orbslam2commentedbyxcm_tpu.utils.runtime import apply_env_platform
+
+    apply_env_platform()
+
     from orbslam2commentedbyxcm_tpu.models.system import Sensor, System
     from orbslam2commentedbyxcm_tpu.utils import datasets
     from orbslam2commentedbyxcm_tpu.utils.config import load_settings
