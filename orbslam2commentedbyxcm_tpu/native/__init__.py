@@ -140,3 +140,44 @@ def mapgraph_available() -> bool:
         return True
     except RuntimeError:
         return False
+
+
+_u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+_f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+
+_vocloader_lib = None
+
+
+def parse_dbow2_text(path: str):
+    """Native parse of a DBoW2 text vocabulary (ORBvoc.txt format).
+
+    Returns (k, depth, parents int32[n], leaves uint8[n], desc uint8[n,32],
+    weights float32[n]) for the n non-root nodes, in file order. Raises
+    RuntimeError if the native library is unavailable or the file is invalid.
+    """
+    global _vocloader_lib
+    if _vocloader_lib is None:
+        so = _build("vocloader")
+        if so is None:
+            raise RuntimeError("native vocloader unavailable (g++ build failed)")
+        lib = ctypes.CDLL(so)
+        lib.voc_parse.restype = ctypes.c_void_p
+        lib.voc_parse.argtypes = [ctypes.c_char_p, _i32p]
+        lib.voc_fill.argtypes = [ctypes.c_void_p, _i32p, _u8p, _u8p, _f32p]
+        lib.voc_free.argtypes = [ctypes.c_void_p]
+        _vocloader_lib = lib
+    lib = _vocloader_lib
+    header = np.zeros(5, np.int32)
+    handle = lib.voc_parse(os.fsencode(path), header)
+    if not handle:
+        raise RuntimeError(f"not a DBoW2 text vocabulary: {path}")
+    try:
+        n = int(header[4])
+        parents = np.empty(n, np.int32)
+        leaves = np.empty(n, np.uint8)
+        desc = np.empty((n, 32), np.uint8)
+        weights = np.empty(n, np.float32)
+        lib.voc_fill(handle, parents, leaves, desc, weights)
+    finally:
+        lib.voc_free(handle)
+    return int(header[0]), int(header[1]), parents, leaves, desc, weights

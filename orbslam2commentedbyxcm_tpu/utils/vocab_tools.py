@@ -41,12 +41,8 @@ def train_from_images(image_paths, n_features=1000, k=10, depth=4, **kw) -> bow.
     return bow.train_vocabulary(np.concatenate(descs), k=k, depth=depth, **kw)
 
 
-def import_dbow2_text(path: str) -> bow.Vocabulary:
-    """Convert a DBoW2 text vocabulary (ORBvoc.txt format) to packed arrays.
-
-    Format (TemplatedVocabulary::loadFromTextFile): header `k L s1 s2`, then
-    one line per node: parent_id is_leaf d0..d31 weight.
-    """
+def _parse_dbow2_text_py(path: str):
+    """Pure-Python fallback parser for the DBoW2 text format."""
     with open(path) as f:
         header = f.readline().split()
         k, depth = int(header[0]), int(header[1])
@@ -59,36 +55,64 @@ def import_dbow2_text(path: str) -> bow.Vocabulary:
             leaves.append(int(vals[1]) != 0)
             descs.append([int(v) for v in vals[2:34]])
             weights.append(float(vals[34]))
+    return (
+        k, depth, np.asarray(parents, np.int32), np.asarray(leaves, np.uint8),
+        np.asarray(descs, np.uint8), np.asarray(weights, np.float32),
+    )
+
+
+def import_dbow2_text(path: str) -> bow.Vocabulary:
+    """Convert a DBoW2 text vocabulary (ORBvoc.txt format) to packed arrays.
+
+    Format (TemplatedVocabulary::loadFromTextFile,
+    Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h:1338): header `k L s1 s2`,
+    then one line per node: parent_id is_leaf d0..d31 weight. Parsing uses the
+    native C++ scanner (native/vocloader.cpp, ~1s for the 1M-node ORBvoc)
+    when the toolchain is available; tree assembly is vectorized numpy.
+    """
+    try:
+        from orbslam2commentedbyxcm_tpu import native
+
+        k, depth, parents, leaves, desc_u8, weights = native.parse_dbow2_text(path)
+    except RuntimeError as e:
+        if "not a DBoW2 text vocabulary" in str(e):
+            raise ValueError(str(e)) from e
+        k, depth, parents, leaves, desc_u8, weights = _parse_dbow2_text_py(path)
 
     n = len(parents) + 1  # +1 root
-    node_desc = np.zeros((n, 8), np.uint32)
+    idx = np.arange(1, n, dtype=np.int32)
+    par = np.where(parents >= 0, parents, 0).astype(np.int32)
     node_parent = np.full(n, -1, np.int32)
-    children: list[list[int]] = [[] for _ in range(n)]
-    node_level = np.zeros(n, np.int32)
+    node_parent[1:] = par
+    node_desc = np.zeros((n, 8), np.uint32)
+    node_desc[1:] = np.ascontiguousarray(desc_u8.reshape(n - 1, 32)).view(np.uint32)
     w = np.zeros(n, np.float32)
-    for i in range(1, n):
-        p = parents[i - 1] if parents[i - 1] >= 0 else 0
-        node_parent[i] = p
-        children[p].append(i)
-        node_desc[i] = np.packbits(
-            np.unpackbits(np.array(descs[i - 1], np.uint8))
-        ).view(np.uint32)
-        w[i] = weights[i - 1]
-    # levels by BFS
-    frontier = [0]
-    while frontier:
-        nxt = []
-        for nid in frontier:
-            for c in children[nid]:
-                node_level[c] = node_level[nid] + 1
-                nxt.append(c)
-        frontier = nxt
+    w[1:] = weights
+
+    # Levels: parents precede children in the file, so level[i] =
+    # level[parent]+1 reaches a fixed point within `depth`+1 relaxation passes.
+    node_level = np.zeros(n, np.int32)
+    for _ in range(depth + 2):
+        new = node_level[np.maximum(node_parent, 0)] + 1
+        new[0] = 0
+        if np.array_equal(new, node_level):
+            break
+        node_level = new
+
+    # Children table: rank of each node within its parent (file order).
+    order = np.argsort(par, kind="stable")
+    sp = par[order]
+    starts = np.flatnonzero(np.r_[True, sp[1:] != sp[:-1]])
+    group_start = np.repeat(starts, np.diff(np.r_[starts, len(sp)]))
+    rank = np.empty(n - 1, np.int64)
+    rank[order] = np.arange(len(sp)) - group_start
     children_arr = np.full((n, k), -1, np.int32)
-    for nid, ch in enumerate(children):
-        children_arr[nid, : min(len(ch), k)] = ch[:k]
-    leaf_ids = np.array(
-        [i for i in range(1, n) if leaves[i - 1] or not children[i]], np.int32
-    )
+    m = rank < k
+    children_arr[par[m], rank[m]] = idx[m]
+
+    child_count = np.bincount(par, minlength=n)
+    leaf_mask = leaves.astype(bool) | (child_count[1:] == 0)
+    leaf_ids = idx[leaf_mask]
     word_id = np.full(n, -1, np.int32)
     word_id[leaf_ids] = np.arange(len(leaf_ids), dtype=np.int32)
     return bow.Vocabulary(
