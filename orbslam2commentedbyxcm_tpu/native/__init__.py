@@ -145,6 +145,94 @@ def mapgraph_available() -> bool:
 _u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
 _f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
 
+
+class InvertedIndex:
+    """ctypes wrapper over native/invindex.cpp — the BoW inverted file plus
+    the shared-word / 0.8x-max-common / min-L1-score query prefilters of the
+    reference KeyFrameDatabase. Raises RuntimeError if the native library
+    cannot be built."""
+
+    _lib = None
+
+    @classmethod
+    def _load(cls):
+        if cls._lib is not None:
+            return cls._lib
+        path = _build("invindex")
+        if path is None:
+            raise RuntimeError("native invindex unavailable (g++ build failed)")
+        lib = ctypes.CDLL(path)
+        lib.ii_create.restype = ctypes.c_void_p
+        lib.ii_destroy.argtypes = [ctypes.c_void_p]
+        lib.ii_clear.argtypes = [ctypes.c_void_p]
+        lib.ii_size.argtypes = [ctypes.c_void_p]
+        lib.ii_size.restype = ctypes.c_int32
+        lib.ii_add.argtypes = [ctypes.c_void_p, ctypes.c_int64, _i32p, _f32p, ctypes.c_int32]
+        lib.ii_erase.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.ii_score.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
+        lib.ii_score.restype = ctypes.c_float
+        lib.ii_score_vec.argtypes = [
+            ctypes.c_void_p, _i32p, _f32p, ctypes.c_int32, ctypes.c_int64]
+        lib.ii_score_vec.restype = ctypes.c_float
+        lib.ii_query.argtypes = [
+            ctypes.c_void_p, _i32p, _f32p, ctypes.c_int32,
+            _i64p, ctypes.c_int32, ctypes.c_float,
+            _i64p, _f32p, ctypes.c_int32]
+        lib.ii_query.restype = ctypes.c_int32
+        cls._lib = lib
+        return lib
+
+    def __init__(self):
+        self._l = self._load()
+        self._h = self._l.ii_create()
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._l.ii_destroy(self._h)
+            self._h = None
+
+    @staticmethod
+    def _cast(word_ids, values):
+        w = np.ascontiguousarray(np.asarray(word_ids).ravel(), np.int32)
+        v = np.ascontiguousarray(np.asarray(values).ravel(), np.float32)
+        return w, v
+
+    def add(self, kf_id: int, word_ids, values):
+        w, v = self._cast(word_ids, values)
+        self._l.ii_add(self._h, kf_id, w, v, len(w))
+
+    def erase(self, kf_id: int):
+        self._l.ii_erase(self._h, kf_id)
+
+    def clear(self):
+        self._l.ii_clear(self._h)
+
+    def __len__(self):
+        return int(self._l.ii_size(self._h))
+
+    def score(self, kf1: int, kf2: int) -> float:
+        return float(self._l.ii_score(self._h, kf1, kf2))
+
+    def score_vec(self, word_ids, values, kf_id: int) -> float:
+        w, v = self._cast(word_ids, values)
+        return float(self._l.ii_score_vec(self._h, w, v, len(w), kf_id))
+
+    def query(self, word_ids, values, exclude, min_score: float, cap: int = 4096):
+        """-> ([kf_id], [l1_score]) passing the shared-word, 0.8x-max-common
+        and min_score prefilters."""
+        w, v = self._cast(word_ids, values)
+        excl = np.ascontiguousarray(np.asarray(sorted(exclude), np.int64))
+        ms = float(min_score) if np.isfinite(min_score) else -3.4e38
+        while True:
+            out_kf = np.empty(cap, np.int64)
+            out_s = np.empty(cap, np.float32)
+            n = self._l.ii_query(
+                self._h, w, v, len(w), excl, len(excl), ms, out_kf, out_s, cap
+            )
+            if n >= 0:
+                return out_kf[:n].tolist(), out_s[:n].tolist()
+            cap *= 4
+
 _vocloader_lib = None
 
 
