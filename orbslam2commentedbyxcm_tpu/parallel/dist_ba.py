@@ -13,10 +13,19 @@ BASELINE.json configs[4]):
   * the dense 6K x 6K pose solve is replicated (poses are the small axis);
   * landmark updates back-substitute locally — no communication.
 
-Communication per LM iteration: one psum of (K*6)^2 + K*6 floats. With K~1000
-poses that is ~144 MB in f32 — the caller is expected to window poses (local
-BA) or accept the cost for global BA; a reduce-scatter pose-sharded variant is
-the planned next step for pod-scale maps.
+Two solver paths:
+
+  * `distributed_bundle_adjustment` — DENSE reduced system: materializes the
+    (K*6)^2 Schur complement and Cholesky-solves it replicated. One psum of
+    (K*6)^2 + K*6 floats per LM iteration. Right for local-BA windows
+    (K <= ~100 poses).
+  * `distributed_bundle_adjustment_cg` — MATRIX-FREE: never forms S. Each
+    conjugate-gradient iteration applies S x = Hcc x - W Hpp^-1 W^T x
+    edge-wise with segment-sums and reduces ONE K*6 vector with psum
+    (Jacobi-preconditioned). Communication per LM iteration is
+    O(n_cg * K * 6) floats and memory is O(E + K + P) — this is the
+    pod-scale global-BA path; with K=10k keyframes a CG step moves 240 KB
+    over ICI instead of the dense path's 14 GB.
 """
 
 from __future__ import annotations
@@ -236,6 +245,208 @@ def distributed_bundle_adjustment(
             P(), P(),                      # poses, pose_fixed replicated
             P(axis), P(axis),              # points, validity sharded
             P(axis), P(axis), P(axis), P(axis), P(axis),  # edges sharded
+        ),
+        out_specs=(P(), P(axis), P()),
+        check_vma=False,
+    )
+    return sharded(
+        poses, pose_fixed, pts_sh, pv_sh, op_sh, opt_sh, ouv_sh, om_sh, osig_sh
+    )
+
+
+def distributed_bundle_adjustment_cg(
+    mesh: Mesh,
+    poses: jnp.ndarray,         # (K, 4, 4) replicated
+    pose_fixed: jnp.ndarray,    # (K,) bool
+    pts_sh, pv_sh,              # (D, Ps, 3), (D, Ps) sharded over 'data'
+    op_sh, opt_sh, ouv_sh, om_sh, osig_sh,  # (D, Es, ...) sharded
+    fx, fy, cx, cy, bf,
+    n_iters: int = 10,
+    n_cg: int = 25,
+    use_huber: bool = True,
+):
+    """Matrix-free Schur-complement LM over the mesh (see module docstring).
+
+    Same problem layout as `distributed_bundle_adjustment` (use
+    `shard_ba_problem` to build the sharded arrays); returns
+    (poses, pts_sh, cost). The reduced camera system is solved with
+    Jacobi-preconditioned CG whose matvec is assembled edge-wise per shard
+    and psum-reduced, so nothing of size (K*6)^2 or (K, P) ever exists.
+    """
+    axis = mesh.axis_names[0]
+    k_poses = poses.shape[0]
+
+    def shard_fn(poses, pose_fixed, pts, pv, op, opt_, ouv, om, osig):
+        pts, pv = pts[0], pv[0]
+        op, opt_, ouv, om, osig = op[0], opt_[0], ouv[0], om[0], osig[0]
+        p_pts = pts.shape[0]
+        stereo_all = ouv[..., 2] >= 0
+        delta2 = jnp.where(stereo_all, CHI2_STEREO, CHI2_MONO)
+        fp = (~pose_fixed).astype(jnp.float32)
+        active0 = (om & pv[opt_]).astype(jnp.float32)
+
+        def edge_terms(poses_, pts_):
+            t_e = poses_[op]
+            p_e = pts_[opt_]
+            r, j_pose, j_point, pc, stereo = _project_residual_jacobian(
+                t_e, p_e, ouv, fx, fy, cx, cy, bf
+            )
+            c2 = _chi2(r, osig, stereo)
+            behind = pc[..., 2] <= 0
+            w = osig * active0 * (~behind).astype(jnp.float32)
+            if use_huber:
+                w = w * _huber_weight(c2, delta2)
+            c2_eff = jnp.where(behind, 1e6, c2)
+            return r, j_pose, j_point, w, c2_eff
+
+        def cost(poses_, pts_):
+            _, _, _, _, c2 = edge_terms(poses_, pts_)
+            if use_huber:
+                d = jnp.sqrt(delta2)
+                e = jnp.sqrt(jnp.maximum(c2, 1e-12))
+                rho = jnp.where(c2 <= delta2, c2, 2.0 * d * e - delta2)
+            else:
+                rho = c2
+            return jax.lax.psum(jnp.sum(rho * active0), axis)
+
+        def lm_step(carry):
+            poses_, pts_, lam, err = carry
+            r, j_pose, j_point, w, _ = edge_terms(poses_, pts_)
+            j_pose = j_pose * fp[op][..., None, None]
+            jw_pose = j_pose * w[..., None, None]
+            jw_point = j_point * w[..., None, None]
+
+            # Per-shard block Hessians/gradients (pose blocks psum-reduced —
+            # (K,6,6)+(K,6) is small; landmark blocks live on their shard).
+            hcc = jax.lax.psum(
+                jax.ops.segment_sum(
+                    jnp.einsum("eij,eik->ejk", jw_pose, j_pose, precision="highest"),
+                    op, num_segments=k_poses,
+                ),
+                axis,
+            )
+            hpp = jax.ops.segment_sum(
+                jnp.einsum("eij,eik->ejk", jw_point, j_point, precision="highest"),
+                opt_, num_segments=p_pts,
+            )
+            g_c = jax.lax.psum(
+                jax.ops.segment_sum(
+                    jnp.einsum("eij,ei->ej", jw_pose, r, precision="highest"),
+                    op, num_segments=k_poses,
+                ),
+                axis,
+            )
+            g_p = jax.ops.segment_sum(
+                jnp.einsum("eij,ei->ej", jw_point, r, precision="highest"),
+                opt_, num_segments=p_pts,
+            )
+            hpp_d = hpp + lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(hpp)) + 1e-6 * jnp.eye(3)
+            hpp_inv = jnp.where(pv[:, None, None], jnp.linalg.inv(hpp_d), 0.0)
+
+            hcc_lm = hcc + lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(hcc))
+
+            # W = sum_e J_pose^T w J_point with coupling through shared w:
+            # (W^T x)_p = sum_{e: pt(e)=p} J_point_e^T (w_e * (J_pose_e x_{kf(e)}))
+            def schur_matvec(x):
+                xe = x[op]                                          # (E, 6)
+                jpx = jnp.einsum("eij,ej->ei", j_pose, xe, precision="highest")  # (E, 2/3)
+                wt_x = jax.ops.segment_sum(
+                    jnp.einsum("eij,ei->ej", jw_point, jpx, precision="highest"),
+                    opt_, num_segments=p_pts,
+                )                                                    # (P, 3)
+                y = jnp.einsum("pab,pb->pa", hpp_inv, wt_x, precision="highest")
+                ye = y[opt_]                                         # (E, 3)
+                jpy = jnp.einsum("eij,ej->ei", j_point, ye, precision="highest")
+                w_y = jax.lax.psum(
+                    jax.ops.segment_sum(
+                        jnp.einsum("eij,ei->ej", jw_pose, jpy, precision="highest"),
+                        op, num_segments=k_poses,
+                    ),
+                    axis,
+                )                                                    # (K, 6)
+                hx = jnp.einsum("kab,kb->ka", hcc_lm, x, precision="highest")
+                out = hx - w_y
+                # identity rows keep fixed poses out of the Krylov space
+                return out * fp[:, None] + x * (1.0 - fp)[:, None]
+
+            # reduced gradient g_s = g_c - W Hpp^-1 g_p
+            yg = jnp.einsum("pab,pb->pa", hpp_inv, g_p, precision="highest")
+            yge = yg[opt_]
+            jpg = jnp.einsum("eij,ej->ei", j_point, yge, precision="highest")
+            w_yg = jax.lax.psum(
+                jax.ops.segment_sum(
+                    jnp.einsum("eij,ei->ej", jw_pose, jpg, precision="highest"),
+                    op, num_segments=k_poses,
+                ),
+                axis,
+            )
+            g_s = (g_c - w_yg) * fp[:, None]
+
+            # Jacobi preconditioner from the pose-block diagonal
+            m_inv = fp[:, None] / jnp.maximum(
+                jax.vmap(jnp.diag)(hcc_lm), 1e-8
+            ) + (1.0 - fp)[:, None]
+
+            b = -g_s
+
+            def cg_body(_, st):
+                x, rres, z, pdir, rz = st
+                ap = schur_matvec(pdir)
+                alpha = rz / jnp.maximum(jnp.sum(pdir * ap), 1e-20)
+                x = x + alpha * pdir
+                rres = rres - alpha * ap
+                z = m_inv * rres
+                rz_new = jnp.sum(rres * z)
+                beta = rz_new / jnp.maximum(rz, 1e-20)
+                pdir = z + beta * pdir
+                return x, rres, z, pdir, rz_new
+
+            x0 = jnp.zeros_like(b)
+            z0 = m_inv * b
+            st = (x0, b, z0, z0, jnp.sum(b * z0))
+            st = jax.lax.fori_loop(0, n_cg, cg_body, st)
+            dx_c = st[0] * fp[:, None]
+
+            # landmark back-substitution: dx_p = Hpp^-1 (-g_p - W^T dx_c)
+            xe = dx_c[op]
+            jpx = jnp.einsum("eij,ej->ei", j_pose, xe, precision="highest")
+            wt_dx = jax.ops.segment_sum(
+                jnp.einsum("eij,ei->ej", jw_point, jpx, precision="highest"),
+                opt_, num_segments=p_pts,
+            )
+            dx_p = jnp.einsum("pab,pb->pa", hpp_inv, -g_p - wt_dx, precision="highest")
+            dx_p = jnp.where(pv[:, None], dx_p, 0.0)
+
+            poses_new = jnp.where(
+                (~pose_fixed)[:, None, None], jax.vmap(se3_exp)(dx_c) @ poses_, poses_
+            )
+            pts_new = pts_ + dx_p
+            err_new = cost(poses_new, pts_new)
+            accept = err_new < err
+            poses_ = jnp.where(accept, poses_new, poses_)
+            pts_ = jnp.where(accept, pts_new, pts_)
+            lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-8, 1e6)
+            err = jnp.where(accept, err_new, err)
+            return poses_, pts_, lam, err
+
+        err0 = cost(poses, pts)
+        carry = (poses, pts, jnp.float32(1e-4), err0)
+        carry = jax.lax.fori_loop(0, n_iters, lambda i, c: lm_step(c), carry)
+        poses_out, pts_out, _, err = carry
+        return poses_out, pts_out[None], err
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    sharded = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(), P(),
+            P(axis), P(axis),
+            P(axis), P(axis), P(axis), P(axis), P(axis),
         ),
         out_specs=(P(), P(axis), P()),
         check_vma=False,
