@@ -50,20 +50,6 @@ EDGE_PAD = 24           # reflected padding so rotated pattern gathers stay in-b
 ARC_LEN = 9             # FAST-9: contiguous arc length
 
 
-def _circular_mask(radius: int) -> np.ndarray:
-    """Discrete circular patch mask matching the reference's umax row widths
-    (src/ORBextractor.cc:519-549): row y spans |x| <= umax[|y|]."""
-    size = 2 * radius + 1
-    ys, xs = np.mgrid[-radius : radius + 1, -radius : radius + 1]
-    # reference: umax[v] = round(sqrt(r^2 - v^2)) with symmetry fix; the simple
-    # rounded circle is equivalent for moment purposes.
-    umax = np.round(np.sqrt(radius * radius - np.arange(radius + 1) ** 2)).astype(int)
-    mask = np.zeros((size, size), dtype=np.float32)
-    for y in range(-radius, radius + 1):
-        mask[y + radius, radius - umax[abs(y)] : radius + umax[abs(y)] + 1] = 1.0
-    return mask
-
-
 def make_brief_pattern(n_pairs: int = 256, patch_radius: int = PATCH_RADIUS, seed: int = 1234) -> np.ndarray:
     """Deterministic BRIEF G-I style sampling pattern: (n_pairs, 2, 2) int32.
 
@@ -177,13 +163,6 @@ def _nms3(score: jnp.ndarray) -> jnp.ndarray:
     return jnp.where((score >= pooled) & (score > 0.0), score, 0.0)
 
 
-def _moment_kernels(radius: int = PATCH_RADIUS):
-    """Circular-mask x/y coordinate weights for IC_Angle patch moments."""
-    mask = _circular_mask(radius)
-    ys, xs = np.mgrid[-radius : radius + 1, -radius : radius + 1]
-    return (xs * mask).astype(np.float32), (ys * mask).astype(np.float32)
-
-
 def _gauss_moment_taps(radius: int = PATCH_RADIUS, sigma: float = 7.0):
     """1D taps for Gaussian-weighted orientation moments.
 
@@ -196,47 +175,6 @@ def _gauss_moment_taps(radius: int = PATCH_RADIUS, sigma: float = 7.0):
     g = np.exp(-0.5 * (xs / sigma) ** 2)
     g = g / g.sum()
     return g.astype(np.float32), (xs * g).astype(np.float32)
-
-
-def _gauss_moment_maps(blurred: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """XLA fallback for the fused kernel's moment outputs (shift-add form)."""
-    g, xg = _gauss_moment_taps()
-    r = len(g) // 2
-    h, w = blurred.shape
-    xpad = jnp.pad(blurred, ((0, 0), (r, r)), mode="edge")
-    rowg = jnp.zeros_like(blurred)
-    rowxg = jnp.zeros_like(blurred)
-    for k in range(len(g)):
-        sh = xpad[:, k : k + w]
-        rowg = rowg + float(g[k]) * sh
-        rowxg = rowxg + float(xg[k]) * sh
-    pg = jnp.pad(rowg, ((r, r), (0, 0)), mode="edge")
-    pxg = jnp.pad(rowxg, ((r, r), (0, 0)), mode="edge")
-    m10 = jnp.zeros_like(blurred)
-    m01 = jnp.zeros_like(blurred)
-    for k in range(len(g)):
-        m10 = m10 + float(g[k]) * pxg[k : k + h, :]
-        m01 = m01 + float(xg[k]) * pg[k : k + h, :]
-    return m10, m01
-
-
-def _keypoint_angles(padded: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray,
-                     kx: np.ndarray, ky: np.ndarray) -> jnp.ndarray:
-    """IC_Angle at keypoints only (reference src/ORBextractor.cc:59-117).
-
-    Dense moment maps cost milliseconds per level on TPU; gathering one
-    31x31 patch per *selected* keypoint (a few hundred) and contracting with
-    the circular-mask coordinate weights is microseconds and exact.
-    `padded` must have >= PATCH_RADIUS margin around (px, py).
-    """
-    r = kx.shape[0] // 2
-    dy = jnp.arange(-r, r + 1)
-    patches = padded[
-        py[:, None, None] + dy[None, :, None], px[:, None, None] + dy[None, None, :]
-    ]  # (N, 31, 31)
-    m10 = jnp.einsum("nij,ij->n", patches, jnp.asarray(kx))
-    m01 = jnp.einsum("nij,ij->n", patches, jnp.asarray(ky))
-    return jnp.arctan2(m01, m10)
 
 
 class ORBExtractor:
@@ -283,7 +221,18 @@ class ORBExtractor:
         self.capacity = sum(budgets)
 
         self._pattern = make_brief_pattern()
-        self._kx, self._ky = _moment_kernels()
+        # Gaussian orientation-moment masks over the 48x48 descriptor patch
+        # (offsets -24..23; the +-15 moment window sits at indices 9..39).
+        # Computing moments from the already-materialized patch makes the
+        # dense per-pixel moment maps unnecessary (they were ~40% of the
+        # fused frontend's per-pixel work).
+        g, xg = _gauss_moment_taps()
+        lo, hi = EDGE_PAD - PATCH_RADIUS, EDGE_PAD + PATCH_RADIUS + 1
+        kmx = np.zeros((2 * EDGE_PAD, 2 * EDGE_PAD), np.float32)
+        kmy = np.zeros((2 * EDGE_PAD, 2 * EDGE_PAD), np.float32)
+        kmx[lo:hi, lo:hi] = np.outer(g, xg)   # m10: g(y) rows, x*g(x) cols
+        kmy[lo:hi, lo:hi] = np.outer(xg, g)   # m01: y*g(y) rows, g(x) cols
+        self._kmx, self._kmy = kmx, kmy
         # sigma=3 blur, shared by orientation moments and descriptor sampling:
         # measured much more stable than the reference's sigma=2 raw-image
         # moments under subpixel keypoint jitter (f0-f1 matches 56 -> 91).
@@ -344,12 +293,11 @@ class ORBExtractor:
         if self.use_pallas:
             from orbslam2commentedbyxcm_tpu.ops.pallas_frontend import fused_frontend
 
-            blurred, nms_hi, nms_lo, m10, m01 = fused_frontend(img, self.ini_th, self.min_th)
+            blurred, nms_hi, nms_lo = fused_frontend(img, self.ini_th, self.min_th)
         else:
             blurred = _separable_blur(img, self._blur)
             s_hi, s_lo, _ = _fast_maps(img, self.ini_th, self.min_th)
             nms_hi, nms_lo = _nms3(s_hi), _nms3(s_lo)
-            m10, m01 = _gauss_moment_maps(blurred)
 
         # Border exclusion: descriptors/orientation need EDGE margin.
         ys = jax.lax.broadcasted_iota(jnp.int32, (hl, wl), 0)
@@ -378,8 +326,19 @@ class ORBExtractor:
 
         # Spatial-uniformity selection replacing DistributeOctTree: take up to
         # per_cell_k per cell, then prefer low within-cell rank globally.
+        # Per-cell top-k by k argmax+mask passes: lax.top_k's sort lowering
+        # measured 3x slower for k=4 over 1024-element cells.
         k = self.per_cell_k
-        top_vals, top_idx = jax.lax.top_k(cells, k)  # (cy, cx, k)
+        tv, ti, m = [], [], cells
+        lane = jax.lax.broadcasted_iota(jnp.int32, cells.shape, 2)
+        for _ in range(k):
+            i = jnp.argmax(m, axis=-1)
+            v = jnp.take_along_axis(m, i[..., None], -1)[..., 0]
+            tv.append(v)
+            ti.append(i)
+            m = jnp.where(lane == i[..., None], -jnp.inf, m)
+        top_vals = jnp.stack(tv, -1)  # (cy, cx, k)
+        top_idx = jnp.stack(ti, -1)
         rank = jax.lax.broadcasted_iota(jnp.float32, (cy, cx, k), 2)
         key = jnp.where(top_vals > 0, rank * 1e6 - top_vals, jnp.inf)
         flat_key = key.reshape(-1)
@@ -400,11 +359,11 @@ class ORBExtractor:
         px = cell_x * cs + inner % cs
         response = top_vals.reshape(-1)[sel]
 
-        # Orientation from the separable Gaussian moment maps (2 gathers/kp);
-        # blurred moments are markedly more stable under subpixel jitter.
-        angle = jnp.arctan2(m01[py, px], m10[py, px])
+        # Orientation + descriptors share one batched patch extraction;
+        # the Gaussian moments (blurred, so stable under subpixel jitter)
+        # are contractions of the same 48x48 patches.
         padded = jnp.pad(blurred, EDGE_PAD, mode="reflect")
-        desc = self._descriptors(padded, px + EDGE_PAD, py + EDGE_PAD, angle, wl + 2 * EDGE_PAD)
+        desc, angle = self._descriptors(padded, px + EDGE_PAD, py + EDGE_PAD, wl + 2 * EDGE_PAD)
 
         scale = jnp.float32(self.scales[lvl])
         uv0 = jnp.stack([px.astype(jnp.float32), py.astype(jnp.float32)], axis=-1) * scale
@@ -417,8 +376,9 @@ class ORBExtractor:
             valid,
         )
 
-    def _descriptors(self, padded, px, py, angle, wp):
-        """Rotated-pattern BRIEF sampling -> packed uint32[N, 8].
+    def _descriptors(self, padded, px, py, wp):
+        """Rotated-pattern BRIEF sampling + IC orientation ->
+        (packed uint32[N, 8] descriptors, angle[N]).
 
         TPU gathers serialize (~1 elem/cycle): the naive N*512 flat gather of
         pattern samples measured 3.9 ms/frame — over half the frame budget.
@@ -427,17 +387,15 @@ class ORBExtractor:
              contiguous lanes), the only gather left;
           2. per-keypoint patch:  rows (N, 48, Wp) x col-one-hot (N, Wp, 48)
              batched matmul -> (N, 48, 48);
-          3. pattern samples:     row-one-hot (N, 512, 48) x patch -> then a
+          3. orientation:         Gaussian moments = two (48, 48) mask
+             contractions of the patch (reference IC_Angle,
+             src/ORBextractor.cc:59-117 — at keypoints only; dense per-pixel
+             moment maps were ~40% of the fused frontend's work);
+          4. pattern samples:     row-one-hot (N, 512, 48) x patch -> then a
              col-one-hot masked reduction -> (N, 512).
         Same rotate-then-round semantics as the reference computeOrbDescriptor
         (src/ORBextractor.cc:118-175), exact in f32.
         """
-        pat = jnp.asarray(self._pattern.reshape(-1, 2), jnp.float32)  # (512, 2) (x, y)
-        ca, sa = jnp.cos(angle), jnp.sin(angle)
-        # rotate pattern by keypoint angle (reference computeOrbDescriptor :149)
-        rx = jnp.round(pat[None, :, 0] * ca[:, None] - pat[None, :, 1] * sa[:, None]).astype(jnp.int32)
-        ry = jnp.round(pat[None, :, 0] * sa[:, None] + pat[None, :, 1] * ca[:, None]).astype(jnp.int32)
-
         r = EDGE_PAD  # 24 > max rotated offset 15*sqrt(2)+1
         win = jnp.arange(-r, r)              # 48 window
         rows = padded[py[:, None] + win[None, :]]               # (N, 48, Wp)
@@ -447,6 +405,17 @@ class ORBExtractor:
             rows, col_oh, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
+
+        m10 = jnp.einsum("nij,ij->n", patch, jnp.asarray(self._kmx))
+        m01 = jnp.einsum("nij,ij->n", patch, jnp.asarray(self._kmy))
+        angle = jnp.arctan2(m01, m10)
+
+        pat = jnp.asarray(self._pattern.reshape(-1, 2), jnp.float32)  # (512, 2) (x, y)
+        ca, sa = jnp.cos(angle), jnp.sin(angle)
+        # rotate pattern by keypoint angle (reference computeOrbDescriptor :149)
+        rx = jnp.round(pat[None, :, 0] * ca[:, None] - pat[None, :, 1] * sa[:, None]).astype(jnp.int32)
+        ry = jnp.round(pat[None, :, 0] * sa[:, None] + pat[None, :, 1] * ca[:, None]).astype(jnp.int32)
+
         iota48 = jnp.arange(2 * r)
         row_oh = ((ry + r)[:, :, None] == iota48[None, None, :]).astype(jnp.float32)
         t = jax.lax.dot_general(                                  # (N, 512, 48)
@@ -459,4 +428,5 @@ class ORBExtractor:
         v = vals.reshape(-1, 256, 2)
         bits = (v[:, :, 0] < v[:, :, 1]).astype(jnp.uint32)  # t0 < t1 -> 1
         powers = jnp.asarray((1 << np.arange(32, dtype=np.uint64)).astype(np.uint32))
-        return jnp.sum(bits.reshape(-1, 8, 32) * powers[None, None], axis=-1, dtype=jnp.uint32)
+        desc = jnp.sum(bits.reshape(-1, 8, 32) * powers[None, None], axis=-1, dtype=jnp.uint32)
+        return desc, angle

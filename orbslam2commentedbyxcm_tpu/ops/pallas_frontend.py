@@ -1,5 +1,7 @@
 """Pallas fused dense-frontend kernel: Gaussian blur + dual-threshold FAST-9 +
-3x3 NMS in a single VMEM pass over row tiles.
+3x3 NMS in a single VMEM pass over row tiles. (Orientation moments moved to
+the batched per-keypoint patch contraction in ops/orb._descriptors — dense
+per-pixel moment maps were ~40% of this kernel's work for ~1000 used pixels.)
 
 The XLA lowering of this stage materializes every intermediate ((16, H, W)
 ring stacks, blur passes, pooled maps) to HBM — measured ~3.2 ms per 640x480
@@ -27,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from orbslam2commentedbyxcm_tpu.ops.orb import _RING, ARC_LEN, _gauss_kernel
 
-_PAD = 20  # blur radius 4 + moment radius 15 + margin (covers FAST ring + NMS)
+_PAD = 8  # halo: max stencil reach is 4 (blur radius 4; FAST ring 3 + NMS 1)
 
 
 def _shift(x, dy, dx):
@@ -41,8 +43,8 @@ def _shift(x, dy, dx):
 
 
 def _kernel(
-    img_hbm, blur_ref, shi_ref, slo_ref, m10_ref, m01_ref, scratch, sem,
-    *, taps, g_taps, xg_taps, th_hi, th_lo, tile_h, height, width,
+    img_hbm, blur_ref, shi_ref, slo_ref, scratch, sem,
+    *, taps, th_hi, th_lo, tile_h, height, width,
 ):
     i = pl.program_id(0)
     win = tile_h + 2 * _PAD
@@ -60,26 +62,6 @@ def _kernel(
     for k in range(len(taps)):
         bl = bl + float(taps[k]) * _shift(acc, k - r, 0)
     blur_ref[:] = bl[_PAD : _PAD + tile_h, :]
-
-    # --- Gaussian-weighted orientation moments ----------------------------
-    # m10 = (x g(x) * g(y)) correlate blurred, m01 symmetric: exactly
-    # separable AND rotationally symmetric (unlike a hard circular mask),
-    # so the whole map costs 4 more 1D passes instead of per-keypoint
-    # 31x31 gathers (which dominated extraction time).
-    rm = len(g_taps) // 2
-    rowg = jnp.zeros_like(x)
-    rowxg = jnp.zeros_like(x)
-    for k in range(len(g_taps)):
-        sh = _shift(bl, 0, k - rm)
-        rowg = rowg + float(g_taps[k]) * sh
-        rowxg = rowxg + float(xg_taps[k]) * sh
-    m10 = jnp.zeros_like(x)
-    m01 = jnp.zeros_like(x)
-    for k in range(len(g_taps)):
-        m10 = m10 + float(g_taps[k]) * _shift(rowxg, k - rm, 0)
-        m01 = m01 + float(xg_taps[k]) * _shift(rowg, k - rm, 0)
-    m10_ref[:] = m10[_PAD : _PAD + tile_h, :]
-    m01_ref[:] = m01[_PAD : _PAD + tile_h, :]
 
     # --- FAST-9, both thresholds, single fused ring loop ------------------
     # run-length counters over the 16+8 wrapped circular positions
@@ -138,14 +120,16 @@ def _kernel(
 
 @functools.partial(jax.jit, static_argnames=("th_hi", "th_lo", "tile_h", "interpret"))
 def fused_frontend(
-    img: jnp.ndarray, th_hi: float, th_lo: float, tile_h: int = 32, interpret: bool = False
+    img: jnp.ndarray, th_hi: float, th_lo: float, tile_h: int | None = None,
+    interpret: bool = False,
 ):
-    """(H, W) image -> (blurred, nms_hi, nms_lo, m10, m01), each (H, W)."""
+    """(H, W) image -> (blurred, nms_hi, nms_lo), each (H, W)."""
     h, w = img.shape
+    if tile_h is None:
+        # larger tiles amortize the halo but the kernel's live set scales with
+        # tile_h * padded width; stay well under the ~16MB VMEM scoped limit
+        tile_h = 64 if w <= 768 else 32
     taps = _gauss_kernel(9, 3.0)
-    from orbslam2commentedbyxcm_tpu.ops.orb import _gauss_moment_taps
-
-    g_taps, xg_taps = _gauss_moment_taps()
     n_tiles = -(-h // tile_h)
     # rows: _PAD halo on top, bottom padded to n_tiles*tile_h + _PAD
     # cols: _PAD left + right-pad to a 128-lane multiple (DMA slice alignment)
@@ -155,18 +139,18 @@ def fused_frontend(
     )
 
     kernel = functools.partial(
-        _kernel, taps=taps, g_taps=g_taps, xg_taps=xg_taps,
+        _kernel, taps=taps,
         th_hi=th_hi, th_lo=th_lo, tile_h=tile_h, height=h, width=w,
     )
-    blur, s_hi, s_lo, m10, m01 = pl.pallas_call(
+    blur, s_hi, s_lo = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             pl.BlockSpec((tile_h, wp), lambda i: (i, 0), memory_space=pltpu.VMEM)
-            for _ in range(5)
+            for _ in range(3)
         ],
-        out_shape=[jax.ShapeDtypeStruct((n_tiles * tile_h, wp), jnp.float32)] * 5,
+        out_shape=[jax.ShapeDtypeStruct((n_tiles * tile_h, wp), jnp.float32)] * 3,
         scratch_shapes=[
             pltpu.VMEM((tile_h + 2 * _PAD, wp), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
@@ -174,4 +158,4 @@ def fused_frontend(
         interpret=interpret,
     )(img_p)
     sl = slice(0, h), slice(_PAD, _PAD + w)
-    return blur[sl], s_hi[sl], s_lo[sl], m10[sl], m01[sl]
+    return blur[sl], s_hi[sl], s_lo[sl]

@@ -9,12 +9,11 @@ from orbslam2commentedbyxcm_tpu.ops.pallas_frontend import fused_frontend
 
 def test_fused_frontend_matches_xla(rng):
     img = jnp.asarray(rng.uniform(0, 255, (96, 128)).astype(np.float32))
-    blur, shi, slo, m10, m01 = fused_frontend(img, 20.0, 7.0, interpret=True)
+    blur, shi, slo = fused_frontend(img, 20.0, 7.0, interpret=True)
 
     blur_ref = orbm._separable_blur(img, orbm._gauss_kernel(9, 3.0))
     s_hi, s_lo, _ = orbm._fast_maps(img, 20.0, 7.0)
     nhi, nlo = orbm._nms3(s_hi), orbm._nms3(s_lo)
-    m10_ref, m01_ref = orbm._gauss_moment_maps(blur_ref)
 
     interior = np.zeros((96, 128), bool)
     interior[40:-40, 40:-40] = True
@@ -23,8 +22,6 @@ def test_fused_frontend_matches_xla(rng):
     )
     np.testing.assert_array_equal(np.asarray(shi)[interior], np.asarray(nhi)[interior])
     np.testing.assert_array_equal(np.asarray(slo)[interior], np.asarray(nlo)[interior])
-    np.testing.assert_allclose(np.asarray(m10)[interior], np.asarray(m10_ref)[interior], atol=0.5)
-    np.testing.assert_allclose(np.asarray(m01)[interior], np.asarray(m01_ref)[interior], atol=0.5)
     assert (np.asarray(shi)[interior] > 0).sum() > 20  # found real corners
 
 
