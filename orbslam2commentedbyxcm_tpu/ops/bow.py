@@ -223,13 +223,17 @@ def transform(voc: Vocabulary, descriptors: np.ndarray, valid: np.ndarray, level
     return words, group, weights.astype(np.float32)
 
 
-def bow_vector(words: np.ndarray, weights: np.ndarray, n_words: int):
-    """L1-normalized sparse BoW vector as (word_ids, values) arrays."""
+def bow_vector(words: np.ndarray, weights: np.ndarray, n_words: int, norm: str = "l1"):
+    """Normalized sparse BoW vector as (word_ids, values) arrays.
+
+    norm='l1' pairs with the L1/chi2/KL/Bhattacharyya scorings, 'l2' with
+    L2/dot-product (DBoW2 BowVector::normalize + ScoringObject MUST_NORMALIZE).
+    """
     m = words >= 0
     vec = np.bincount(words[m], weights=weights[m], minlength=n_words)
     ids = np.nonzero(vec)[0]
     vals = vec[ids]
-    s = vals.sum()
+    s = vals.sum() if norm == "l1" else np.sqrt((vals * vals).sum())
     if s > 0:
         vals = vals / s
     return ids.astype(np.int32), vals.astype(np.float32)
@@ -242,3 +246,45 @@ def l1_score(ids1, vals1, ids2, vals2) -> float:
     if len(common) == 0:
         return 0.0
     return float(2.0 * np.minimum(vals1[i1], vals2[i2]).sum()) * 0.5
+
+
+_LOG_EPS = float(np.log(np.finfo(np.float64).eps))
+
+
+def score(ids1, vals1, ids2, vals2, method: str = "l1") -> float:
+    """All six DBoW2 scorings (Thirdparty/DBoW2/DBoW2/ScoringObject.cpp).
+
+    ORBvoc uses L1; the others are provided for vocabulary/scoring parity:
+      l1             1 - 0.5 |v - w|_1            (L1-normalized inputs)
+      l2             1 - sqrt(1 - v.w)            (L2-normalized inputs)
+      chi_square     2 sum vw / (v + w)
+      kl             KL(v || w) with LOG_EPS completion (lower = closer)
+      bhattacharyya  sum sqrt(vw)
+      dot_product    v.w
+    """
+    common, i1, i2 = np.intersect1d(ids1, ids2, return_indices=True)
+    a = np.asarray(vals1, np.float64)
+    b = np.asarray(vals2, np.float64)
+    ca, cb = a[i1], b[i2]
+    if method == "l1":
+        return float(np.minimum(ca, cb).sum())
+    if method == "l2":
+        s = float((ca * cb).sum())
+        return 1.0 if s >= 1.0 else 1.0 - np.sqrt(1.0 - s)
+    if method == "chi_square":
+        denom = ca + cb
+        ok = denom != 0.0
+        return float(2.0 * (ca[ok] * cb[ok] / denom[ok]).sum())
+    if method == "kl":
+        ok = (ca != 0) & (cb != 0)
+        s = float((ca[ok] * np.log(ca[ok] / cb[ok])).sum())
+        only1 = np.setdiff1d(np.arange(len(a)), i1, assume_unique=False)
+        v = a[only1]
+        v = v[v != 0]
+        s += float((v * (np.log(v) - _LOG_EPS)).sum())
+        return s
+    if method == "bhattacharyya":
+        return float(np.sqrt(ca * cb).sum())
+    if method == "dot_product":
+        return float((ca * cb).sum())
+    raise ValueError(f"unknown scoring method: {method}")

@@ -102,7 +102,7 @@ class PoseOptResult(NamedTuple):
     chi2: jnp.ndarray       # () float32 — final robust cost
 
 
-@functools.partial(jax.jit, static_argnames=("n_rounds", "n_iters"))
+@functools.partial(jax.jit, static_argnames=("n_rounds", "n_iters", "algorithm"))
 def pose_optimization(
     t_cw: jnp.ndarray,
     pts_w: jnp.ndarray,
@@ -112,6 +112,7 @@ def pose_optimization(
     fx, fy, cx, cy, bf,
     n_rounds: int = 4,
     n_iters: int = 10,
+    algorithm: str = "lm",
 ) -> PoseOptResult:
     """Motion-only BA (reference Optimizer::PoseOptimization).
 
@@ -119,7 +120,14 @@ def pose_optimization(
     valid map-point associations. Between rounds edges are relabeled
     inlier/outlier by chi2 (5.991 / 7.815); rounds 2-3 drop the Huber kernel,
     mirroring the reference's 4 x 10 schedule (src/Optimizer.cc:433-489).
+
+    algorithm: 'lm' (adaptive-lambda Levenberg, what the reference uses —
+    g2o OptimizationAlgorithmLevenberg), 'gn' (Gauss-Newton), or 'dogleg'
+    (Powell trust region) — the other two g2o solver algorithms
+    (Thirdparty/g2o/g2o/core/optimization_algorithm_{gauss_newton,dogleg}).
     """
+    if algorithm not in ("lm", "gn", "dogleg"):
+        raise ValueError(f"unknown algorithm: {algorithm}")
     stereo_all = obs[..., 2] >= 0
     delta2 = jnp.where(stereo_all, CHI2_STEREO, CHI2_MONO)
 
@@ -175,24 +183,61 @@ def pose_optimization(
             return (it < n_iters) & jnp.logical_not(done)
 
         def lm_step(carry):
+            # `lam` is the LM damping for 'lm', the trust radius for 'dogleg',
+            # unused for 'gn'.
             t_best, h, g, lam, err_best, it, done = carry
-            h_lm = h + lam * jnp.diag(jnp.diag(h)) + 1e-8 * jnp.eye(6)
-            dx = -jnp.linalg.solve(h_lm, g)
+            if algorithm == "lm":
+                h_lm = h + lam * jnp.diag(jnp.diag(h)) + 1e-8 * jnp.eye(6)
+                dx = -jnp.linalg.solve(h_lm, g)
+            elif algorithm == "gn":
+                dx = -jnp.linalg.solve(h + 1e-8 * jnp.eye(6), g)
+            else:  # dogleg
+                h_gn = -jnp.linalg.solve(h + 1e-8 * jnp.eye(6), g)
+                ghg = jnp.maximum(g @ (h @ g), 1e-20)
+                alpha = (g @ g) / ghg
+                h_sd = -alpha * g
+                n_gn = jnp.linalg.norm(h_gn)
+                n_sd = jnp.linalg.norm(h_sd)
+                # blend point on the dogleg path with |dx| = lam (trust radius)
+                d = h_gn - h_sd
+                aa = jnp.maximum(d @ d, 1e-20)
+                bb = 2.0 * (h_sd @ d)
+                cc = (h_sd @ h_sd) - lam * lam
+                beta = (-bb + jnp.sqrt(jnp.maximum(bb * bb - 4 * aa * cc, 0.0))) / (2 * aa)
+                dx_blend = h_sd + jnp.clip(beta, 0.0, 1.0) * d
+                dx = jnp.where(
+                    n_gn <= lam, h_gn,
+                    jnp.where(n_sd >= lam, h_sd * (lam / jnp.maximum(n_sd, 1e-20)), dx_blend),
+                )
             t_new = se3_exp(dx) @ t_best
             err_new, h_new, g_new = eval_point(t_new, active, use_huber)
             accept = err_new < err_best
             t_best = jnp.where(accept, t_new, t_best)
+            h_old, g_old = h, g
             h = jnp.where(accept, h_new, h)
             g = jnp.where(accept, g_new, g)
+            if algorithm == "lm":
+                lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-8, 1e6)
+                stuck = lam >= 1e6
+            elif algorithm == "gn":
+                stuck = jnp.logical_not(accept)  # undamped step failed: stop
+            else:
+                # err is sum(w r^2) (no 1/2): gradient 2g, Hessian 2H
+                predicted = -2.0 * (dx @ g_old) - dx @ (h_old @ dx)
+                rho = (err_best - err_new) / jnp.maximum(predicted, 1e-20)
+                lam = jnp.where(rho > 0.75, jnp.maximum(lam, 3.0 * jnp.linalg.norm(dx)), lam)
+                lam = jnp.where(rho < 0.25, lam * 0.5, lam)
+                lam = jnp.clip(lam, 1e-8, 1e6)
+                stuck = lam <= 1e-8
             err_best = jnp.where(accept, err_new, err_best)
-            lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-8, 1e6)
-            done = (jnp.max(jnp.abs(dx)) < 1e-6) | (lam >= 1e6)
+            done = (jnp.max(jnp.abs(dx)) < 1e-6) | stuck
             return (t_best, h, g, lam, err_best, it + 1, done)
 
         err0, h0, g0 = eval_point(t_cw, active, use_huber)
+        damp0 = jnp.float32(1.0 if algorithm == "dogleg" else 1e-3)
         t_cw, _, _, _, _, _, _ = jax.lax.while_loop(
             lm_cond, lm_step,
-            (t_cw, h0, g0, jnp.float32(1e-3), err0, jnp.int32(0), jnp.bool_(False)),
+            (t_cw, h0, g0, damp0, err0, jnp.int32(0), jnp.bool_(False)),
         )
         # relabel
         _, c2 = robust_cost(t_cw, active, use_huber)

@@ -155,3 +155,38 @@ def test_global_ba_stereo_with_outliers(rng):
     inl = np.asarray(res.obs_inliers)
     assert inl[idx].mean() < 0.1          # outlier edges rejected
     assert inl[~np.isin(np.arange(e), idx)].mean() > 0.9  # true inliers kept
+
+
+def test_pose_optimization_algorithm_variants(rng):
+    """Gauss-Newton and Dogleg (g2o's other two solver algorithms) reach the
+    same optimum as Levenberg on a well-conditioned motion-only problem."""
+    pts, t_gt, obs = make_problem(rng, n=200, noise=0.3)
+    t0 = np.asarray(geo.se3_exp(jnp.asarray([0.25, -0.1, 0.15, 0.08, -0.06, 0.1]))) @ t_gt
+    results = {}
+    for alg in ("lm", "gn", "dogleg"):
+        res = optim.pose_optimization(
+            jnp.asarray(t0), jnp.asarray(pts), jnp.asarray(obs),
+            jnp.ones(len(pts), bool), jnp.ones(len(pts)), FX, FY, CX, CY, BF,
+            algorithm=alg,
+        )
+        results[alg] = np.asarray(res.t_cw)
+        assert pose_err(results[alg], t_gt) < 0.01, alg
+        assert int(res.n_inliers) > 0.9 * len(pts), alg
+    assert pose_err(results["gn"], results["lm"]) < 2e-3
+    assert pose_err(results["dogleg"], results["lm"]) < 2e-3
+
+
+def test_pose_optimization_dogleg_with_outliers(rng):
+    pts, t_gt, obs = make_problem(rng, n=200)
+    n_out = 50
+    obs = obs.copy()
+    obs[:n_out, :2] += rng.uniform(30, 80, (n_out, 2))
+    t0 = np.asarray(geo.se3_exp(jnp.asarray([0.15, 0.1, -0.05, 0.05, 0.02, -0.04]))) @ t_gt
+    res = optim.pose_optimization(
+        jnp.asarray(t0), jnp.asarray(pts), jnp.asarray(obs),
+        jnp.ones(len(pts), bool), jnp.ones(len(pts)), FX, FY, CX, CY, BF,
+        algorithm="dogleg",
+    )
+    assert pose_err(np.asarray(res.t_cw), t_gt) < 0.02
+    inl = np.asarray(res.inliers)
+    assert inl[n_out:].mean() > 0.9 and inl[:n_out].mean() < 0.2

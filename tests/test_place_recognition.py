@@ -321,3 +321,53 @@ class TestPoseGraph:
         # scales pulled back toward 1
         scales = np.asarray(geo.sim3_scale(jnp.asarray(out)))
         assert np.abs(np.log(scales)).max() < 0.08
+
+
+class TestScoringVariants:
+    """All six DBoW2 scorings (ScoringObject.cpp) vs dense-vector oracles."""
+
+    def _dense(self, ids, vals, n=600):
+        d = np.zeros(n)
+        d[np.asarray(ids)] = np.asarray(vals, np.float64)
+        return d
+
+    def test_against_dense_oracle(self, rng):
+        for norm in ("l1", "l2"):
+            w1 = rng.choice(600, 40, replace=False).astype(np.int32)
+            w2 = np.concatenate([w1[:20], rng.choice(600, 25, replace=False).astype(np.int32)])
+            ids1, vals1 = bow.bow_vector(w1, rng.random(40).astype(np.float32), 600, norm=norm)
+            ids2, vals2 = bow.bow_vector(w2, rng.random(45).astype(np.float32), 600, norm=norm)
+            a, b = self._dense(ids1, vals1), self._dense(ids2, vals2)
+
+            if norm == "l1":
+                ref_l1 = 1.0 - 0.5 * np.abs(a - b).sum()
+                assert bow.score(ids1, vals1, ids2, vals2, "l1") == pytest.approx(ref_l1, abs=1e-6)
+                c = (a != 0) & (b != 0)
+                ref_chi = 2.0 * (a[c] * b[c] / (a[c] + b[c])).sum()
+                assert bow.score(ids1, vals1, ids2, vals2, "chi_square") == pytest.approx(ref_chi, abs=1e-6)
+                ref_bh = np.sqrt(a[c] * b[c]).sum()
+                assert bow.score(ids1, vals1, ids2, vals2, "bhattacharyya") == pytest.approx(ref_bh, abs=1e-6)
+                log_eps = np.log(np.finfo(np.float64).eps)
+                v_only = (a != 0) & (b == 0)
+                ref_kl = (a[c] * np.log(a[c] / b[c])).sum() + (a[v_only] * (np.log(a[v_only]) - log_eps)).sum()
+                assert bow.score(ids1, vals1, ids2, vals2, "kl") == pytest.approx(ref_kl, abs=1e-6)
+            else:
+                dot = float((a * b).sum())
+                ref_l2 = 1.0 - np.sqrt(1.0 - min(dot, 1.0))
+                assert bow.score(ids1, vals1, ids2, vals2, "l2") == pytest.approx(ref_l2, abs=1e-6)
+                assert bow.score(ids1, vals1, ids2, vals2, "dot_product") == pytest.approx(dot, abs=1e-6)
+
+    def test_l1_matches_legacy_function(self, rng):
+        w1 = rng.choice(300, 30, replace=False).astype(np.int32)
+        w2 = rng.choice(300, 30, replace=False).astype(np.int32)
+        ids1, vals1 = bow.bow_vector(w1, rng.random(30).astype(np.float32), 300)
+        ids2, vals2 = bow.bow_vector(w2, rng.random(30).astype(np.float32), 300)
+        assert bow.score(ids1, vals1, ids2, vals2, "l1") == pytest.approx(
+            bow.l1_score(ids1, vals1, ids2, vals2), abs=1e-6)
+
+    def test_identical_vectors_score_one(self, rng):
+        w = rng.choice(300, 30, replace=False).astype(np.int32)
+        ids, vals = bow.bow_vector(w, rng.random(30).astype(np.float32), 300)
+        assert bow.score(ids, vals, ids, vals, "l1") == pytest.approx(1.0, abs=1e-6)
+        idsl2, valsl2 = bow.bow_vector(w, rng.random(30).astype(np.float32), 300, norm="l2")
+        assert bow.score(idsl2, valsl2, idsl2, valsl2, "l2") == pytest.approx(1.0, abs=1e-3)
