@@ -27,6 +27,7 @@ def main():
     ap.add_argument("paths", nargs="+")
     ap.add_argument("--mono", action="store_true", help="force monocular mode")
     ap.add_argument("--no-loop-closing", action="store_true")
+    ap.add_argument("--async-mapping", action="store_true", help="run mapping on a worker thread (reference thread pipeline)")
     ap.add_argument("--vocabulary", default=None, help=".npz vocabulary (else trained lazily)")
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--out-prefix", default="")
@@ -64,7 +65,8 @@ def main():
         vocabulary = Vocabulary.load(args.vocabulary)
 
     system = System(camera, sensor, config=cfg, vocabulary=vocabulary,
-                    enable_loop_closing=not args.no_loop_closing)
+                    enable_loop_closing=not args.no_loop_closing,
+                    async_mapping=args.async_mapping)
 
     n = len(data) if args.max_frames is None else min(len(data), args.max_frames)
     results, stamps = [], []

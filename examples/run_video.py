@@ -29,6 +29,7 @@ def main():
     ap.add_argument("--camera", type=int, default=None, help="live camera index (myslam mode)")
     ap.add_argument("--vocabulary", default=None, help=".npz vocabulary (else trained lazily)")
     ap.add_argument("--no-loop-closing", action="store_true")
+    ap.add_argument("--async-mapping", action="store_true", help="run mapping on a worker thread (reference thread pipeline)")
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--stride", type=int, default=1, help="process every Nth frame")
     ap.add_argument("--out-prefix", default="")
@@ -68,7 +69,8 @@ def main():
         vocabulary = Vocabulary.load(args.vocabulary)
 
     system = System(camera, Sensor.MONOCULAR, config=cfg, vocabulary=vocabulary,
-                    enable_loop_closing=not args.no_loop_closing)
+                    enable_loop_closing=not args.no_loop_closing,
+                    async_mapping=args.async_mapping)
     if args.localization_only:
         system.activate_localization_mode()
 

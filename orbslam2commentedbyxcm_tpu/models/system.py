@@ -70,6 +70,7 @@ class System:
         config: TrackingConfig | None = None,
         vocabulary=None,
         enable_loop_closing: bool = True,
+        async_mapping: bool = False,
     ):
         self.camera = camera
         self.sensor = sensor
@@ -80,7 +81,17 @@ class System:
             scale_factor=self.cfg.scale_factor,
             n_levels=self.cfg.n_levels,
         )
+        # map_lock == reference Map::mMutexMapUpdate (include/Map.h:114):
+        # held by Tracking's map section and by the async mapping worker.
+        # Uncontended (and negligible) in the default synchronous pipeline.
+        import threading
+
+        self.map_lock = threading.Lock()
         self.local_mapping = LocalMapping(self.map, camera)
+        if async_mapping:
+            from orbslam2commentedbyxcm_tpu.models.async_pipeline import AsyncMapping
+
+            self.local_mapping = AsyncMapping(self.local_mapping, self.map_lock)
         self.vocabulary = vocabulary
         self.keyframe_db = None
         self.loop_closing = None
@@ -160,14 +171,16 @@ class System:
         """Returns Tcw (4, 4) or None if not tracked (reference TrackMonocular)."""
         assert self.sensor == Sensor.MONOCULAR
         frame = self._make_frame(image, timestamp)
-        state = self.tracking.track_frame(frame)
+        with self.map_lock:
+            state = self.tracking.track_frame(frame)
         return frame.t_cw.copy() if state == TrackingState.OK else None
 
     def track_rgbd(self, image, depth, timestamp: float):
         assert self.sensor == Sensor.RGBD
         frame = self._make_frame(image, timestamp)
         self._attach_depth(frame, np.asarray(depth))
-        state = self.tracking.track_frame(frame)
+        with self.map_lock:
+            state = self.tracking.track_frame(frame)
         return frame.t_cw.copy() if state == TrackingState.OK else None
 
     def track_stereo(self, image_left, image_right, timestamp: float):
@@ -182,7 +195,8 @@ class System:
             frame, left.astype(np.float32), np.asarray(image_right, np.float32),
             self.extractor, self.camera,
         )
-        state = self.tracking.track_frame(frame)
+        with self.map_lock:
+            state = self.tracking.track_frame(frame)
         return frame.t_cw.copy() if state == TrackingState.OK else None
 
     def _attach_depth(self, frame: Frame, depth_map: np.ndarray):
@@ -199,9 +213,16 @@ class System:
 
     # -- modes / control ---------------------------------------------------
 
+    def _drain_mapping(self):
+        """Wait for queued async mapping work (no-op in the sync pipeline)."""
+        wait = getattr(self.local_mapping, "wait_idle", None)
+        if wait is not None:
+            wait()
+
     def activate_localization_mode(self):
         self.tracking.localization_only = True
         self.local_mapping.paused = True
+        self._drain_mapping()
 
     def deactivate_localization_mode(self):
         self.tracking.localization_only = False
@@ -222,6 +243,7 @@ class System:
         self.tracking.velocity = None
 
     def reset(self):
+        self._drain_mapping()
         self.map = Map()
         self.local_mapping.map = self.map
         self.local_mapping.recent_points = []
@@ -241,7 +263,12 @@ class System:
             self.local_mapping.relocalizer.map = self.map
 
     def shutdown(self):
-        pass  # synchronous pipeline: nothing to join
+        """Drain and join the async mapping worker (reference System::Shutdown
+        joins its threads); a no-op for the synchronous pipeline."""
+        self._drain_mapping()
+        stop = getattr(self.local_mapping, "shutdown", None)
+        if stop is not None:
+            stop()
 
     # -- map checkpoint / restore (reference SaveMap/LoadMap TODO,
     #    include/System.h:104-106 — implemented here) ----------------------
@@ -249,6 +276,7 @@ class System:
     def save_map(self, path: str):
         from orbslam2commentedbyxcm_tpu.models.map_io import save_map
 
+        self._drain_mapping()
         save_map(self.map, path, vocabulary=self.vocabulary,
                  trajectory=self.tracking.trajectory)
 
@@ -256,6 +284,8 @@ class System:
         """Replace the current map with a checkpoint; the system comes up in
         LOST state and relocalizes against the loaded map on the next frame."""
         from orbslam2commentedbyxcm_tpu.models.map_io import load_map
+
+        self._drain_mapping()
 
         m, voc, traj = load_map(path, self.cfg.scale_factor, self.cfg.n_levels)
         self.map = m
@@ -301,6 +331,7 @@ class System:
         """[(timestamp, Tcw)] reconstructed through (possibly loop-corrected)
         keyframe poses; bad keyframes are traversed via their stored relative
         pose to the spanning-tree parent (reference SaveTrajectoryTUM)."""
+        self._drain_mapping()
         out = []
         for ts, ref_id, t_rel in self.tracking.trajectory:
             kf = self.map.keyframes.get(ref_id)

@@ -640,12 +640,16 @@ class Tracking:
     # -- keyframe policy ---------------------------------------------------
 
     def _need_new_keyframe(self, frame: Frame) -> bool:
-        """Reference NeedNewKeyFrame (src/Tracking.cc:1088-1186), simplified to
-        the synchronous pipeline (mapper never rejects; queue bound handled by
-        the mapper itself)."""
+        """Reference NeedNewKeyFrame (src/Tracking.cc:1088-1186). In the
+        synchronous pipeline the mapper never rejects; with async mapping the
+        queue-cap gate applies (== AcceptKeyFrames + the queue<3 check,
+        src/Tracking.cc:1150-1181)."""
         cfg = self.cfg
         kf = self.map.keyframes.get(self.ref_kf_id)
         if kf is None:
+            return False
+        accepts = getattr(self.local_mapper, "accepts_keyframes", None)
+        if accepts is not None and not accepts():
             return False
         n_kfs = len(self.map.good_keyframes())
         min_obs = 3 if n_kfs > 2 else 2

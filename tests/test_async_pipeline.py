@@ -1,0 +1,79 @@
+"""Async mapping pipeline (reference LocalMapping/LoopClosing threads,
+src/System.cc:98-111): tracking quality must match the synchronous pipeline
+while mapping runs on a worker thread behind the map lock."""
+
+import numpy as np
+import pytest
+
+from orbslam2commentedbyxcm_tpu.models.system import Sensor, System
+from orbslam2commentedbyxcm_tpu.models.tracking import TrackingConfig
+from orbslam2commentedbyxcm_tpu.utils.camera import Camera
+from orbslam2commentedbyxcm_tpu.utils.evaluation import ate_rmse, positions_from_tcw
+from orbslam2commentedbyxcm_tpu.utils.synth import SyntheticSequence
+
+
+def small_camera():
+    return Camera(fx=250.0, fy=250.0, cx=160.0, cy=120.0, width=320, height=240, bf=20.0)
+
+
+def run_mono(async_mapping: bool):
+    cam = small_camera()
+    seq = SyntheticSequence(camera=cam, n_frames=30, trajectory="sideways")
+    cfg = TrackingConfig(n_features=600, max_frames_between_kf=8, kf_tracked_ratio=0.95)
+    system = System(cam, Sensor.MONOCULAR, config=cfg, enable_loop_closing=False,
+                    async_mapping=async_mapping)
+    results = [system.track_monocular(seq.render(i), i / 30.0) for i in range(seq.n_frames)]
+    system.shutdown()
+    return seq, system, results
+
+
+@pytest.fixture(scope="module")
+def async_run():
+    return run_mono(async_mapping=True)
+
+
+def test_async_tracks_most_frames(async_run):
+    seq, system, results = async_run
+    tracked = [p for p in results if p is not None]
+    assert len(tracked) >= seq.n_frames - 10, f"tracked only {len(tracked)}/{seq.n_frames}"
+
+
+def test_async_ate_close_to_ground_truth(async_run):
+    seq, system, results = async_run
+    est, gt = [], []
+    for i, p in enumerate(results):
+        if p is not None:
+            est.append(p)
+            gt.append(seq.pose(i))
+    rmse = ate_rmse(positions_from_tcw(np.asarray(est)),
+                    positions_from_tcw(np.asarray(gt)), with_scale=True)
+    assert rmse < 0.08, f"async ATE {rmse:.3f} m"
+
+
+def test_async_mapping_actually_ran(async_run):
+    seq, system, results = async_run
+    # worker thread processed queued keyframes: triangulated map growth
+    assert len(system.map.good_keyframes()) >= 3
+    assert int(np.sum(np.asarray(system.map.pt_valid))) > 200
+
+
+def test_async_shutdown_joins_worker(async_run):
+    _, system, _ = async_run
+    assert not system.local_mapping._thread.is_alive()
+
+
+def test_async_reset_and_continue():
+    cam = small_camera()
+    seq = SyntheticSequence(camera=cam, n_frames=30, trajectory="sideways")
+    cfg = TrackingConfig(n_features=600, max_frames_between_kf=8, kf_tracked_ratio=0.95)
+    system = System(cam, Sensor.MONOCULAR, config=cfg, enable_loop_closing=False,
+                    async_mapping=True)
+    for i in range(12):
+        system.track_monocular(seq.render(i), i / 30.0)
+    system.reset()
+    tracked = 0
+    for i in range(seq.n_frames):
+        if system.track_monocular(seq.render(i), 1.0 + i / 30.0) is not None:
+            tracked += 1
+    system.shutdown()
+    assert tracked >= seq.n_frames - 12
