@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--vocabulary", default=None, help=".npz vocabulary (else trained lazily)")
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--out-prefix", default="")
+    ap.add_argument("--trace", default=None, metavar="TRACE.jsonl",
+                    help="record per-frame stage timings and dump JSONL")
     args = ap.parse_args()
 
     from orbslam2commentedbyxcm_tpu.utils.runtime import apply_env_platform
@@ -64,15 +66,20 @@ def main():
 
         vocabulary = Vocabulary.load(args.vocabulary)
 
+    tracer = None
+    if args.trace:
+        from orbslam2commentedbyxcm_tpu.utils.tracing import Tracer
+
+        tracer = Tracer()
     system = System(camera, sensor, config=cfg, vocabulary=vocabulary,
                     enable_loop_closing=not args.no_loop_closing,
-                    async_mapping=args.async_mapping)
+                    async_mapping=args.async_mapping, tracer=tracer)
 
     n = len(data) if args.max_frames is None else min(len(data), args.max_frames)
     results, stamps = [], []
     t0 = time.time()
-    for i in range(n):
-        ts, img, aux = data[i]
+    # disk IO + decode overlap tracking on a prefetch thread
+    for i, (ts, img, aux) in enumerate(datasets.Prefetcher(data, depth=4, stop=n)):
         if sensor == Sensor.MONOCULAR:
             pose = system.track_monocular(img, ts)
         elif sensor == Sensor.RGBD:
@@ -89,6 +96,10 @@ def main():
             )
     dt = time.time() - t0
     system.shutdown()
+    if tracer is not None:
+        print(tracer.summary_table())
+        tracer.dump_jsonl(args.trace)
+        print(f"trace written to {args.trace}")
 
     system.save_trajectory_tum(args.out_prefix + "CameraTrajectory.txt")
     system.save_keyframe_trajectory_tum(args.out_prefix + "KeyFrameTrajectory.txt")

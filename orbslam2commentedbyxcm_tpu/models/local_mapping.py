@@ -144,6 +144,7 @@ class LocalMapping:
         self.n_tri_neighbors = n_triangulation_neighbors
         self.recent_points: list[tuple[int, int]] = []  # (pid, created-at kf_id)
         self.paused = False
+        self.tracer = None
         self._ba_jit_cache = {}
 
     # -- entry points ------------------------------------------------------
@@ -157,14 +158,21 @@ class LocalMapping:
         if self.paused:
             return
         kf = self.map.keyframes[kf_id]
-        self._track_recent_points(kf)
-        self.cull_map_points(kf)
-        self.create_new_map_points(kf)
-        self.fuse_neighbors(kf)
-        self.local_bundle_adjustment(kf)
-        self.cull_keyframes(kf)
+        import contextlib
+
+        span = self.tracer.span if self.tracer is not None else (
+            lambda name: contextlib.nullcontext())
+        with span("local_mapping"):
+            self._track_recent_points(kf)
+            self.cull_map_points(kf)
+            self.create_new_map_points(kf)
+            self.fuse_neighbors(kf)
+            with span("local_ba"):
+                self.local_bundle_adjustment(kf)
+            self.cull_keyframes(kf)
         if self.loop_closer is not None:
-            self.loop_closer.insert_keyframe(kf_id)
+            with span("loop_closing"):
+                self.loop_closer.insert_keyframe(kf_id)
 
     # -- recent-point culling ---------------------------------------------
 

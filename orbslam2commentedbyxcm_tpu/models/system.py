@@ -7,6 +7,7 @@ formats (reference src/System.cc:347-503).
 
 from __future__ import annotations
 
+import contextlib
 import enum
 
 import numpy as np
@@ -71,10 +72,12 @@ class System:
         vocabulary=None,
         enable_loop_closing: bool = True,
         async_mapping: bool = False,
+        tracer=None,
     ):
         self.camera = camera
         self.sensor = sensor
         self.cfg = config or TrackingConfig()
+        self.tracer = tracer
         self.map = Map()
         self.extractor = ORBExtractor(
             n_features=self.cfg.n_features,
@@ -88,6 +91,7 @@ class System:
 
         self.map_lock = threading.Lock()
         self.local_mapping = LocalMapping(self.map, camera)
+        self.local_mapping.tracer = tracer
         if async_mapping:
             from orbslam2commentedbyxcm_tpu.models.async_pipeline import AsyncMapping
 
@@ -167,36 +171,60 @@ class System:
             frame.uv_und = np.asarray(self.camera.undistort_points(jnp.asarray(frame.uv)))
         return frame
 
+    @contextlib.contextmanager
+    def _span(self, name: str):
+        if self.tracer is None:
+            yield
+        else:
+            with self.tracer.span(name):
+                yield
+
+    def _track_locked(self, frame: Frame):
+        with self._span("tracking"), self.map_lock:
+            state = self.tracking.track_frame(frame)
+        if self.tracer is not None:
+            self.tracer.end_frame(
+                state=self.tracking.state.name, inliers=self.tracking.n_last_inliers
+            )
+        return state
+
     def track_monocular(self, image, timestamp: float):
         """Returns Tcw (4, 4) or None if not tracked (reference TrackMonocular)."""
         assert self.sensor == Sensor.MONOCULAR
-        frame = self._make_frame(image, timestamp)
-        with self.map_lock:
-            state = self.tracking.track_frame(frame)
+        if self.tracer is not None:
+            self.tracer.begin_frame(Frame._next_id, timestamp)
+        with self._span("extract"):
+            frame = self._make_frame(image, timestamp)
+        state = self._track_locked(frame)
         return frame.t_cw.copy() if state == TrackingState.OK else None
 
     def track_rgbd(self, image, depth, timestamp: float):
         assert self.sensor == Sensor.RGBD
-        frame = self._make_frame(image, timestamp)
-        self._attach_depth(frame, np.asarray(depth))
-        with self.map_lock:
-            state = self.tracking.track_frame(frame)
+        if self.tracer is not None:
+            self.tracer.begin_frame(Frame._next_id, timestamp)
+        with self._span("extract"):
+            frame = self._make_frame(image, timestamp)
+            self._attach_depth(frame, np.asarray(depth))
+        state = self._track_locked(frame)
         return frame.t_cw.copy() if state == TrackingState.OK else None
 
     def track_stereo(self, image_left, image_right, timestamp: float):
         assert self.sensor == Sensor.STEREO
         from orbslam2commentedbyxcm_tpu.ops.stereo import stereo_match_frame
 
-        frame = self._make_frame(image_left, timestamp)
+        if self.tracer is not None:
+            self.tracer.begin_frame(Frame._next_id, timestamp)
+        with self._span("extract"):
+            frame = self._make_frame(image_left, timestamp)
         left = np.asarray(image_left)
         if left.ndim == 3:
             left = left.mean(axis=-1)
-        stereo_match_frame(
-            frame, left.astype(np.float32), np.asarray(image_right, np.float32),
-            self.extractor, self.camera,
-        )
-        with self.map_lock:
-            state = self.tracking.track_frame(frame)
+        with self._span("stereo_match"):
+            stereo_match_frame(
+                frame, left.astype(np.float32), np.asarray(image_right, np.float32),
+                self.extractor, self.camera,
+            )
+        state = self._track_locked(frame)
         return frame.t_cw.copy() if state == TrackingState.OK else None
 
     def _attach_depth(self, frame: Frame, depth_map: np.ndarray):

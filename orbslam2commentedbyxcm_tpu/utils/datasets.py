@@ -158,3 +158,61 @@ class EurocDataset:
                 rows.append([float(v[0]) * 1e-9, float(v[1]), float(v[2]), float(v[3])])
         arr = np.array(rows)
         return arr[:, 0], arr[:, 1:4]
+
+
+class Prefetcher:
+    """Background-thread frame prefetcher over any indexable dataset.
+
+    The reference's example mains read+decode each image synchronously on the
+    tracking thread (README.md:101-173 workflow); here disk IO and PNG decode
+    overlap tracking compute. Iterate to consume in order:
+
+        for ts, img, aux in Prefetcher(dataset): ...
+    """
+
+    def __init__(self, dataset, depth: int = 4, start: int = 0, stop: int | None = None):
+        import queue as _queue
+        import threading
+
+        self.dataset = dataset
+        self._q = _queue.Queue(maxsize=max(1, depth))
+        self._stop_evt = threading.Event()
+        self._range = range(start, len(dataset) if stop is None else min(stop, len(dataset)))
+        self._thread = threading.Thread(target=self._run, daemon=True, name="prefetch")
+        self._thread.start()
+
+    def _run(self):
+        for i in self._range:
+            if self._stop_evt.is_set():
+                break
+            try:
+                item = self.dataset[i]
+            except Exception as e:  # surface errors at the consumer
+                self._q.put((e, None))
+                break
+            self._q.put((None, item))
+        self._q.put((None, _PREFETCH_END))
+
+    def __len__(self):
+        return len(self._range)
+
+    def __iter__(self):
+        while True:
+            err, item = self._q.get()
+            if err is not None:
+                raise err
+            if item is _PREFETCH_END:
+                return
+            yield item
+
+    def close(self):
+        self._stop_evt.set()
+        # drain so the producer can exit
+        while self._thread.is_alive():
+            try:
+                self._q.get_nowait()
+            except Exception:
+                self._thread.join(timeout=0.2)
+
+
+_PREFETCH_END = object()
