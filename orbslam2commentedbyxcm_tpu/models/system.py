@@ -90,6 +90,10 @@ class System:
         import threading
 
         self.map_lock = threading.Lock()
+        if vocabulary == "bootstrap":
+            from orbslam2commentedbyxcm_tpu.ops import bow as _bow
+
+            vocabulary = _bow.bootstrap_vocabulary()
         self.local_mapping = LocalMapping(self.map, camera)
         self.local_mapping.tracer = tracer
         if async_mapping:

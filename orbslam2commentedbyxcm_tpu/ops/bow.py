@@ -223,6 +223,21 @@ def transform(voc: Vocabulary, descriptors: np.ndarray, valid: np.ndarray, level
     return words, group, weights.astype(np.float32)
 
 
+def bootstrap_vocabulary() -> Vocabulary:
+    """Packaged 1000-word vocabulary (assets/bootstrap_vocab.npz, 40KB)
+    trained offline on this framework's own descriptors over varied synthetic
+    scenes — gives instant place recognition without per-run lazy training.
+    The reference ships its (much larger) pretrained ORBvoc.txt the same way
+    (src/System.cc:65-75); for a production deployment train a domain
+    vocabulary with utils/vocab_tools.py.
+    """
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), os.pardir, "assets",
+                        "bootstrap_vocab.npz")
+    return Vocabulary.load(path)
+
+
 def bow_vector(words: np.ndarray, weights: np.ndarray, n_words: int, norm: str = "l1"):
     """Normalized sparse BoW vector as (word_ids, values) arrays.
 

@@ -371,3 +371,28 @@ class TestScoringVariants:
         assert bow.score(ids, vals, ids, vals, "l1") == pytest.approx(1.0, abs=1e-6)
         idsl2, valsl2 = bow.bow_vector(w, rng.random(30).astype(np.float32), 300, norm="l2")
         assert bow.score(idsl2, valsl2, idsl2, valsl2, "l2") == pytest.approx(1.0, abs=1e-3)
+
+
+class TestBootstrapVocabulary:
+    def test_loads_and_discriminates(self):
+        voc = bow.bootstrap_vocabulary()
+        assert voc.n_words == 1000
+
+        def vec(d):
+            w, g, wt = bow.transform(voc, d, np.ones(len(d), bool))
+            return bow.bow_vector(w, wt, voc.n_words)
+
+        d0 = scene_descriptors(2)
+        d0b = scene_descriptors(3)
+        d1 = scene_descriptors(2, seed=11)
+        s_same = bow.l1_score(*vec(d0), *vec(d0b))
+        s_diff = bow.l1_score(*vec(d0), *vec(d1))
+        assert s_same > 1.1 * s_diff, f"same={s_same:.3f} diff={s_diff:.3f}"
+
+    def test_system_accepts_bootstrap_keyword(self):
+        from orbslam2commentedbyxcm_tpu.models.system import Sensor, System
+        from orbslam2commentedbyxcm_tpu.utils.synth import default_camera
+
+        system = System(default_camera(320, 240), Sensor.MONOCULAR, vocabulary="bootstrap")
+        assert system.vocabulary is not None and system.loop_closing is not None
+        assert system.keyframe_db is not None
