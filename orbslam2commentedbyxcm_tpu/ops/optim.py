@@ -102,7 +102,6 @@ class PoseOptResult(NamedTuple):
     chi2: jnp.ndarray       # () float32 — final robust cost
 
 
-@functools.partial(jax.jit, static_argnames=("n_rounds", "n_iters", "algorithm"))
 def pose_optimization(
     t_cw: jnp.ndarray,
     pts_w: jnp.ndarray,
@@ -113,6 +112,7 @@ def pose_optimization(
     n_rounds: int = 4,
     n_iters: int = 10,
     algorithm: str = "lm",
+    impl: str | None = None,
 ) -> PoseOptResult:
     """Motion-only BA (reference Optimizer::PoseOptimization).
 
@@ -125,7 +125,39 @@ def pose_optimization(
     g2o OptimizationAlgorithmLevenberg), 'gn' (Gauss-Newton), or 'dogleg'
     (Powell trust region) — the other two g2o solver algorithms
     (Thirdparty/g2o/g2o/core/optimization_algorithm_{gauss_newton,dogleg}).
+
+    impl: None (auto: the fused single-kernel Pallas path on TPU for 'lm',
+    the XLA while-loop path otherwise), 'xla', 'pallas', or
+    'pallas_interpret' (Pallas semantics on CPU, for tests).
     """
+    if impl is None:
+        impl = (
+            "pallas"
+            if algorithm == "lm" and jax.default_backend() == "tpu"
+            else "xla"
+        )
+    if impl in ("pallas", "pallas_interpret"):
+        from orbslam2commentedbyxcm_tpu.ops.pallas_poseopt import (
+            pose_optimization_fused,
+        )
+
+        t_out, inliers, n_inl, chi2 = pose_optimization_fused(
+            t_cw, pts_w, obs, mask, inv_sigma2, fx, fy, cx, cy, bf,
+            n_rounds=n_rounds, n_iters=n_iters,
+            interpret=(impl == "pallas_interpret"),
+        )
+        return PoseOptResult(t_cw=t_out, inliers=inliers, n_inliers=n_inl, chi2=chi2)
+    return _pose_optimization_xla(
+        t_cw, pts_w, obs, mask, inv_sigma2, fx, fy, cx, cy, bf,
+        n_rounds=n_rounds, n_iters=n_iters, algorithm=algorithm,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_rounds", "n_iters", "algorithm"))
+def _pose_optimization_xla(
+    t_cw, pts_w, obs, mask, inv_sigma2, fx, fy, cx, cy, bf,
+    n_rounds: int = 4, n_iters: int = 10, algorithm: str = "lm",
+) -> PoseOptResult:
     if algorithm not in ("lm", "gn", "dogleg"):
         raise ValueError(f"unknown algorithm: {algorithm}")
     stereo_all = obs[..., 2] >= 0
