@@ -12,11 +12,12 @@ batched, static-shape XLA program:
                                                 (rank, -score) global top-N —
                                                 same *purpose* (spatial
                                                 uniformity), vectorized
-  IC_Angle per keypoint (:59)                   batched 31x31 patch gather +
-                                                mask contraction at keypoints
+  IC_Angle per keypoint (:59)                   Gaussian-moment contraction of
+                                                per-keypoint patches
+                                                (ops/descriptors)
   7x7 sigma=2 Gaussian blur (:1497)             separable depthwise conv
-  computeOrbDescriptor (:118)                   one batched gather of N*512
-                                                rotated pattern samples
+  computeOrbDescriptor (:118)                   rotated-pattern one-hot MXU
+                                                sampling (ops/descriptors)
 
 Descriptors are 256-bit, stored packed as uint32[N, 8]. The sampling pattern is
 a deterministic BRIEF-style pattern generated from a fixed seed (the original
@@ -265,6 +266,10 @@ class ORBExtractor:
     # -- pipeline ----------------------------------------------------------
 
     def _extract(self, img: jnp.ndarray, shape) -> FrameFeatures:
+        from orbslam2commentedbyxcm_tpu.ops.descriptors import (
+            descriptors_from_windows,
+        )
+
         h, w = shape
         outs = []
         level_img = img
@@ -276,10 +281,13 @@ class ORBExtractor:
             outs.append(self._extract_level(level_img, lvl, hl, wl))
         uv = jnp.concatenate([o[0] for o in outs])
         resp = jnp.concatenate([o[1] for o in outs])
-        ang = jnp.concatenate([o[2] for o in outs])
-        level = jnp.concatenate([o[3] for o in outs])
-        desc = jnp.concatenate([o[4] for o in outs])
+        level = jnp.concatenate([o[2] for o in outs])
+        rows = jnp.concatenate([o[3] for o in outs])
+        off = jnp.concatenate([o[4] for o in outs])
         valid = jnp.concatenate([o[5] for o in outs])
+        desc, ang = descriptors_from_windows(
+            rows, off, self._pattern, self._kmx, self._kmy
+        )
         return FrameFeatures(uv, resp, ang, level, desc, valid)
 
     def _extract_level(self, img: jnp.ndarray, lvl: int, hl: int, wl: int):
@@ -287,8 +295,9 @@ class ORBExtractor:
         if budget == 0:
             z = jnp.zeros
             return (
-                z((0, 2), jnp.float32), z((0,), jnp.float32), z((0,), jnp.float32),
-                z((0,), jnp.int32), z((0, 8), jnp.uint32), z((0,), bool),
+                z((0, 2), jnp.float32), z((0,), jnp.float32), z((0,), jnp.int32),
+                z((0, PATCH_RADIUS * 2 + 18, 128), jnp.bfloat16),
+                z((0,), jnp.int32), z((0,), bool),
             )
         if self.use_pallas:
             from orbslam2commentedbyxcm_tpu.ops.pallas_frontend import fused_frontend
@@ -359,74 +368,22 @@ class ORBExtractor:
         px = cell_x * cs + inner % cs
         response = top_vals.reshape(-1)[sel]
 
-        # Orientation + descriptors share one batched patch extraction;
-        # the Gaussian moments (blurred, so stable under subpixel jitter)
-        # are contractions of the same 48x48 patches.
-        padded = jnp.pad(blurred, EDGE_PAD, mode="reflect")
-        desc, angle = self._descriptors(padded, px + EDGE_PAD, py + EDGE_PAD, wl + 2 * EDGE_PAD)
+        # Orientation + descriptors: gather one narrow (48, 128) bf16 window
+        # per keypoint; ops/descriptors computes moments + rotated-pattern
+        # bits from it with batched one-hot MXU contractions.
+        from orbslam2commentedbyxcm_tpu.ops.descriptors import gather_windows
+
+        padded = jnp.pad(blurred, EDGE_PAD, mode="reflect").astype(jnp.bfloat16)
+        rows, off = gather_windows(padded, px, py)
 
         scale = jnp.float32(self.scales[lvl])
         uv0 = jnp.stack([px.astype(jnp.float32), py.astype(jnp.float32)], axis=-1) * scale
         return (
             uv0,
             response,
-            angle,
             jnp.full((budget,), lvl, jnp.int32),
-            desc,
+            rows,
+            off,
             valid,
         )
 
-    def _descriptors(self, padded, px, py, wp):
-        """Rotated-pattern BRIEF sampling + IC orientation ->
-        (packed uint32[N, 8] descriptors, angle[N]).
-
-        TPU gathers serialize (~1 elem/cycle): the naive N*512 flat gather of
-        pattern samples measured 3.9 ms/frame — over half the frame budget.
-        Instead every sampling step is a one-hot contraction on the MXU:
-          1. per-keypoint rows:   (N, 48) row gather — DMA-efficient (rows are
-             contiguous lanes), the only gather left;
-          2. per-keypoint patch:  rows (N, 48, Wp) x col-one-hot (N, Wp, 48)
-             batched matmul -> (N, 48, 48);
-          3. orientation:         Gaussian moments = two (48, 48) mask
-             contractions of the patch (reference IC_Angle,
-             src/ORBextractor.cc:59-117 — at keypoints only; dense per-pixel
-             moment maps were ~40% of the fused frontend's work);
-          4. pattern samples:     row-one-hot (N, 512, 48) x patch -> then a
-             col-one-hot masked reduction -> (N, 512).
-        Same rotate-then-round semantics as the reference computeOrbDescriptor
-        (src/ORBextractor.cc:118-175), exact in f32.
-        """
-        r = EDGE_PAD  # 24 > max rotated offset 15*sqrt(2)+1
-        win = jnp.arange(-r, r)              # 48 window
-        rows = padded[py[:, None] + win[None, :]]               # (N, 48, Wp)
-        cols = px[:, None] + win[None, :]                        # (N, 48)
-        col_oh = (cols[:, None, :] == jnp.arange(wp)[None, :, None]).astype(jnp.float32)
-        patch = jax.lax.dot_general(                              # (N, 48, 48)
-            rows, col_oh, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-
-        m10 = jnp.einsum("nij,ij->n", patch, jnp.asarray(self._kmx))
-        m01 = jnp.einsum("nij,ij->n", patch, jnp.asarray(self._kmy))
-        angle = jnp.arctan2(m01, m10)
-
-        pat = jnp.asarray(self._pattern.reshape(-1, 2), jnp.float32)  # (512, 2) (x, y)
-        ca, sa = jnp.cos(angle), jnp.sin(angle)
-        # rotate pattern by keypoint angle (reference computeOrbDescriptor :149)
-        rx = jnp.round(pat[None, :, 0] * ca[:, None] - pat[None, :, 1] * sa[:, None]).astype(jnp.int32)
-        ry = jnp.round(pat[None, :, 0] * sa[:, None] + pat[None, :, 1] * ca[:, None]).astype(jnp.int32)
-
-        iota48 = jnp.arange(2 * r)
-        row_oh = ((ry + r)[:, :, None] == iota48[None, None, :]).astype(jnp.float32)
-        t = jax.lax.dot_general(                                  # (N, 512, 48)
-            row_oh, patch, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        col_sel = ((rx + r)[:, :, None] == iota48[None, None, :]).astype(jnp.float32)
-        vals = jnp.sum(t * col_sel, axis=-1)                      # (N, 512)
-
-        v = vals.reshape(-1, 256, 2)
-        bits = (v[:, :, 0] < v[:, :, 1]).astype(jnp.uint32)  # t0 < t1 -> 1
-        powers = jnp.asarray((1 << np.arange(32, dtype=np.uint64)).astype(np.uint32))
-        desc = jnp.sum(bits.reshape(-1, 8, 32) * powers[None, None], axis=-1, dtype=jnp.uint32)
-        return desc, angle

@@ -1,6 +1,6 @@
 """Pallas fused dense-frontend kernel: Gaussian blur + dual-threshold FAST-9 +
 3x3 NMS in a single VMEM pass over row tiles. (Orientation moments moved to
-the batched per-keypoint patch contraction in ops/orb._descriptors — dense
+the batched per-keypoint patch contraction in ops/descriptors — dense
 per-pixel moment maps were ~40% of this kernel's work for ~1000 used pixels.)
 
 The XLA lowering of this stage materializes every intermediate ((16, H, W)
