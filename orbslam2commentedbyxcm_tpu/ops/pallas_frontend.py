@@ -64,15 +64,41 @@ def _kernel(
     blur_ref[:] = bl[_PAD : _PAD + tile_h, :]
 
     # --- FAST-9, both thresholds, single fused ring loop ------------------
-    # run-length counters over the 16+8 wrapped circular positions
+    # Lane rolls dominate this kernel's cost. Two reductions vs the naive
+    # 24 x (lane+sublane) roll loop:
+    #   1. the 16 ring positions share only 7 distinct column offsets, so do
+    #      6 lane rolls once (dx = +-1, +-2, +-3) and give each ring position
+    #      a cheap sublane roll of the shared copy;
+    #   2. wrapped arc positions (k >= 16) reuse the k-16 difference outright.
+    # Everything stays f32/int32: Mosaic on this target supports neither
+    # rotates nor comparisons on 16-bit data (both were tried).
+    lane = {
+        dx: (pltpu.roll(x, (-dx) % x.shape[1], axis=1) if dx else x)
+        for dx in (-3, -2, -1, 0, 1, 2, 3)
+    }
+
+    def ring_shift(dx, dy):
+        v = lane[dx]
+        if dy:
+            v = pltpu.roll(v, (-dy) % v.shape[0], axis=0)
+        return v
+
+    # Only the first ARC_LEN-1 diffs are saved for wrap reuse: keeping all 16
+    # live alongside the 7 lane copies overflowed the VMEM stack (20.4M > 16M).
+    saved = {}
     zi = jnp.zeros(x.shape, jnp.int32)
     zf = jnp.zeros_like(x)
     run = [zi, zi, zi, zi]     # bright_hi, dark_hi, bright_lo, dark_lo
     best = [zi, zi, zi, zi]
     sums = [zf, zf, zf, zf]    # sb_hi, sd_hi, sb_lo, sd_lo
-    ring_ext = [_RING[k % 16] for k in range(16 + ARC_LEN - 1)]
-    for k, (dx, dy) in enumerate(ring_ext):
-        up = _shift(x, int(dy), int(dx)) - x
+    for k in range(16 + ARC_LEN - 1):
+        if k < 16:
+            dx, dy = _RING[k]
+            up = ring_shift(int(dx), int(dy)) - x
+            if k < ARC_LEN - 1:
+                saved[k] = up
+        else:
+            up = saved[k - 16]  # wrapped positions reuse the computed diffs
         flags = [
             (up > th_hi).astype(jnp.int32),
             (-up > th_hi).astype(jnp.int32),
@@ -128,7 +154,9 @@ def fused_frontend(
     if tile_h is None:
         # larger tiles amortize the halo but the kernel's live set scales with
         # tile_h * padded width; stay well under the ~16MB VMEM scoped limit
-        tile_h = 64 if w <= 768 else 32
+        # (the shared lane-rolled ring copies raised the live set: 64-row
+        # tiles at 768 lanes now overflow the 16M scoped stack)
+        tile_h = 64 if w <= 384 else 32
     taps = _gauss_kernel(9, 3.0)
     n_tiles = -(-h // tile_h)
     # rows: _PAD halo on top, bottom padded to n_tiles*tile_h + _PAD
