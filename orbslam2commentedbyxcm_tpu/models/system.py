@@ -190,6 +190,15 @@ class System:
             self.tracer.end_frame(
                 state=self.tracking.state.name, inliers=self.tracking.n_last_inliers
             )
+        # Auto-reset when tracking is lost right after initialization — the
+        # young map is too small for relocalization to ever recover
+        # (reference src/Tracking.cc:518-525: lost with <=5 KFs -> full reset).
+        if (
+            state == TrackingState.LOST
+            and not self.tracking.localization_only
+            and 0 < len(self.map.good_keyframes()) <= 5
+        ):
+            self.reset()
         return state
 
     def track_monocular(self, image, timestamp: float):

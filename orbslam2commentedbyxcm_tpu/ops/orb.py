@@ -347,30 +347,43 @@ class ORBExtractor:
         cy, cx = -(-hl // cs), -(-wl // cs)
         ph, pw = cy * cs, cx * cs
 
-        def to_cells(m):
-            m = jnp.pad(m, ((0, ph - hl), (0, pw - wl)))
-            return m.reshape(cy, cs, cx, cs).transpose(0, 2, 1, 3).reshape(cy, cx, cs * cs)
-
-        cells_hi = to_cells(nms_hi)
-        cells_lo = to_cells(nms_lo)
-        has_hi = jnp.any(cells_hi > 0, axis=-1, keepdims=True)
-        cells = jnp.where(has_hi, cells_hi, cells_lo)
-
         # Spatial-uniformity selection replacing DistributeOctTree: take up to
         # per_cell_k per cell, then prefer low within-cell rank globally.
-        # Per-cell top-k by k argmax+mask passes: lax.top_k's sort lowering
-        # measured 3x slower for k=4 over 1024-element cells.
+        # Per-cell top-k runs as max/min reductions over the free (cy, cs,
+        # cx, cs) VIEW of the score map — the earlier (cy, cx, cs*cs) cell
+        # relayout (transpose copies of every full-res map, 2 maps x 8
+        # levels) was the selection stage's main cost. lax.top_k's sort
+        # lowering measured 3x slower than k max+mask passes for k=4.
         k = self.per_cell_k
-        tv, ti, m = [], [], cells
-        lane = jax.lax.broadcasted_iota(jnp.int32, cells.shape, 2)
-        for _ in range(k):
-            i = jnp.argmax(m, axis=-1)
-            v = jnp.take_along_axis(m, i[..., None], -1)[..., 0]
-            tv.append(v)
-            ti.append(i)
-            m = jnp.where(lane == i[..., None], -jnp.inf, m)
-        top_vals = jnp.stack(tv, -1)  # (cy, cx, k)
-        top_idx = jnp.stack(ti, -1)
+        in_cell = (
+            jax.lax.broadcasted_iota(jnp.int32, (cy, cs, cx, cs), 1) * cs
+            + jax.lax.broadcasted_iota(jnp.int32, (cy, cs, cx, cs), 3)
+        )
+
+        def cell_topk(m):
+            m = jnp.pad(m, ((0, ph - hl), (0, pw - wl)))
+            cur = m.reshape(cy, cs, cx, cs)
+            tv, ti = [], []
+            for _ in range(k):
+                s = jnp.max(cur, axis=(1, 3))              # (cy, cx)
+                sb = s[:, None, :, None]
+                # first-index tie-break, matching argmax semantics
+                i = jnp.min(
+                    jnp.where((cur >= sb) & (sb > 0), in_cell, cs * cs), axis=(1, 3)
+                )
+                i = jnp.where(s > 0, i, 0)
+                tv.append(s)
+                ti.append(i)
+                cur = jnp.where(in_cell == i[:, None, :, None], -jnp.inf, cur)
+            return jnp.stack(tv, -1), jnp.stack(ti, -1)    # (cy, cx, k)
+
+        # Per-cell threshold fallback (reference: retry the cell with minTh
+        # when the strict threshold finds nothing, src/ORBextractor.cc:1084).
+        tv_hi, ti_hi = cell_topk(nms_hi)
+        tv_lo, ti_lo = cell_topk(nms_lo)
+        has_hi = tv_hi[:, :, :1] > 0
+        top_vals = jnp.where(has_hi, tv_hi, tv_lo)
+        top_idx = jnp.where(has_hi, ti_hi, ti_lo)
         rank = jax.lax.broadcasted_iota(jnp.float32, (cy, cx, k), 2)
         key = jnp.where(top_vals > 0, rank * 1e6 - top_vals, jnp.inf)
         flat_key = key.reshape(-1)

@@ -133,11 +133,10 @@ def _kernel(
     s_lo = jnp.where(corner_lo & interior, s_lo, 0.0)
 
     def nms(s):
-        m = s
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                if dy or dx:
-                    m = jnp.maximum(m, _shift(s, dy, dx))
+        # separable 3x3 max (4 rolls instead of 8; max is separable so the
+        # result is identical): pool includes self, s >= pool <=> s is a peak
+        m = jnp.maximum(s, jnp.maximum(_shift(s, 0, -1), _shift(s, 0, 1)))
+        m = jnp.maximum(m, jnp.maximum(_shift(m, -1, 0), _shift(m, 1, 0)))
         return jnp.where((s >= m) & (s > 0.0), s, 0.0)
 
     shi_ref[:] = nms(s_hi)[_PAD : _PAD + tile_h, :]

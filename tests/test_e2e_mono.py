@@ -83,3 +83,24 @@ def test_mono_localization_mode(mono_run):
     assert system.map.n_valid_points() == n_pts
     assert len(system.map.good_keyframes()) == n_kfs
     system.deactivate_localization_mode()
+
+
+def test_auto_reset_when_lost_young(mono_run):
+    """Lost with a young map (<=5 KFs) triggers a full system reset
+    (reference src/Tracking.cc:518-525)."""
+    cam = small_camera()
+    seq = SyntheticSequence(camera=cam, n_frames=30, trajectory="sideways")
+    cfg = TrackingConfig(n_features=600, max_frames_between_kf=100, kf_tracked_ratio=0.5)
+    system = System(cam, Sensor.MONOCULAR, config=cfg, enable_loop_closing=False)
+    for i in range(16):
+        system.track_monocular(seq.render(i), i / 30.0)
+        if len(system.map.good_keyframes()) >= 2:
+            break
+    assert 0 < len(system.map.good_keyframes()) <= 5
+    # featureless frame: tracking must fail and, with a young map, auto-reset
+    rng = np.random.default_rng(0)
+    blank = np.full((cam.height, cam.width), 128.0, np.float32)
+    blank += rng.uniform(-1, 1, blank.shape)  # no corners
+    system.track_monocular(blank, 90.0)
+    assert len(system.map.good_keyframes()) == 0
+    assert system.map.n_valid_points() == 0
