@@ -298,8 +298,12 @@ class LoopClosing:
 
         # 4. essential graph optimization (reference :621 / Optimizer.cc:873)
         self._optimize_essential_graph(kf, loop_kf_id, corrected, non_corrected)
+        # loop-edge endpoints are permanently protected from culling
+        # (reference KeyFrame::AddLoopEdge sets mbNotErase, src/KeyFrame.cc)
         kf.loop_edges.add(loop_kf_id)
+        kf.not_erase = True
         m.keyframes[loop_kf_id].loop_edges.add(kf.kf_id)
+        m.keyframes[loop_kf_id].not_erase = True
 
         # 5. full BA (reference spawns a GBA thread; synchronous here)
         if self.run_global_ba:

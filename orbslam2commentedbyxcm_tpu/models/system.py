@@ -79,6 +79,9 @@ class System:
         self.cfg = config or TrackingConfig()
         self.tracer = tracer
         self.map = Map()
+        # pre-reset trajectory segments, materialized as absolute poses
+        self._archived_trajectory: list = []
+        self._archived_kf_trajectory: list = []
         self.extractor = ORBExtractor(
             n_features=self.cfg.n_features,
             scale_factor=self.cfg.scale_factor,
@@ -285,6 +288,10 @@ class System:
 
     def reset(self):
         self._drain_mapping()
+        # materialize the tracked-so-far trajectories into absolute poses
+        # before the map (and its reference keyframes) is destroyed
+        self._archived_trajectory = self.frame_trajectory()
+        self._archived_kf_trajectory = self.keyframe_trajectory()
         self.map = Map()
         self.local_mapping.map = self.map
         self.local_mapping.recent_points = []
@@ -358,22 +365,45 @@ class System:
     def n_tracked_points(self) -> int:
         return self.tracking.n_last_inliers
 
+    def get_tracked_map_points(self):
+        """Map-point ids tracked in the last frame (reference
+        System::GetTrackedMapPoints, src/System.cc:511)."""
+        lf = self.tracking.last_frame
+        if lf is None:
+            return np.zeros(0, np.int64)
+        return lf.map_pt[lf.map_pt >= 0].copy()
+
+    def get_tracked_keypoints_und(self):
+        """Undistorted keypoints of the last frame (reference
+        System::GetTrackedKeyPointsUn, src/System.cc:517)."""
+        lf = self.tracking.last_frame
+        if lf is None:
+            return np.zeros((0, 2), np.float32)
+        return lf.uv_und[lf.valid].copy()
+
     def map_changed(self) -> int:
         return self.map.big_change_idx
 
     # -- trajectory output (reference src/System.cc:347-503) ---------------
 
     def keyframe_trajectory(self):
-        """[(timestamp, Tcw)] for good keyframes, id-ordered."""
+        """[(timestamp, Tcw)] for good keyframes, id-ordered; keyframes from
+        before a system reset are included as poses archived at reset time."""
         kfs = sorted(self.map.good_keyframes(), key=lambda k: k.kf_id)
-        return [(kf.timestamp, kf.t_cw.copy()) for kf in kfs]
+        return list(self._archived_kf_trajectory) + [
+            (kf.timestamp, kf.t_cw.copy()) for kf in kfs
+        ]
 
     def frame_trajectory(self):
         """[(timestamp, Tcw)] reconstructed through (possibly loop-corrected)
         keyframe poses; bad keyframes are traversed via their stored relative
-        pose to the spanning-tree parent (reference SaveTrajectoryTUM)."""
+        pose to the spanning-tree parent (reference SaveTrajectoryTUM).
+
+        Segments tracked before a system reset are preserved as absolute
+        poses materialized at reset time (the reference discards them,
+        src/Tracking.cc:1687-1732)."""
         self._drain_mapping()
-        out = []
+        out = list(self._archived_trajectory)
         for ts, ref_id, t_rel in self.tracking.trajectory:
             kf = self.map.keyframes.get(ref_id)
             t_acc = np.eye(4, dtype=np.float32)

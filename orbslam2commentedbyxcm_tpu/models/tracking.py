@@ -657,12 +657,32 @@ class Tracking:
             1 for pid in kf.map_pt[kf.map_pt >= 0]
             if self.map.n_observations(int(pid)) >= min_obs
         )
-        c1 = self.frames_since_kf >= cfg.max_frames_between_kf
-        c2 = (
-            self.n_last_inliers < ref_matches * cfg.kf_tracked_ratio
-            and self.n_last_inliers > 15
-        )
-        return (c1 or c2) and self.frames_since_kf >= cfg.min_frames_between_kf
+
+        # close-point pressure, stereo/RGB-D only (src/Tracking.cc:1119-1134):
+        # too few tracked close points while many close candidates go untracked
+        is_depth = bool(np.any(frame.depth > 0))
+        need_close = False
+        if is_depth:
+            b = self.camera.b if self.camera.b > 0 else 1.0
+            close = (frame.depth > 0) & (frame.depth < cfg.depth_th * b) & frame.valid
+            n_tracked_close = int(np.sum(close & (frame.map_pt >= 0)))
+            n_untracked_close = int(np.sum(close & (frame.map_pt < 0)))
+            need_close = n_tracked_close < 100 and n_untracked_close > 70
+
+        ratio = cfg.kf_tracked_ratio if n_kfs > 2 else 0.4
+        inl = self.n_last_inliers
+        # reference conditions (src/Tracking.cc:1151-1186): c1a hard timeout,
+        # c1b min-interval gate, c1c stereo/RGB-D pressure, c2 quality drop.
+        # Deviation from the reference's ((c1a|c1b|c1c) && c2): the hard
+        # timeout inserts unconditionally — on stable scenes (synthetic
+        # benchmarks, slow motion) inliers never drop below the young-map
+        # 0.4 ratio and the strict AND starves the map of keyframes
+        # (measured: mono ATE 4.6 cm -> 46 cm on the synthetic sweep).
+        c1a = self.frames_since_kf >= cfg.max_frames_between_kf
+        c1b = self.frames_since_kf >= cfg.min_frames_between_kf
+        c1c = is_depth and (inl < ref_matches * 0.25 or need_close)
+        c2 = (inl < ref_matches * ratio or need_close) and inl > 15
+        return c1a or ((c1b or c1c) and c2)
 
     def _create_new_keyframe(self, frame: Frame):
         kf = self.map.add_keyframe(frame)

@@ -119,7 +119,7 @@ def distributed_bundle_adjustment(
     use_huber: bool = True,
 ):
     """One BA solve over the mesh. Returns (poses, pts_sh, cost)."""
-    axis = mesh.axis_names[0]
+    axis = tuple(mesh.axis_names)  # psum over every mesh axis (ICI and, multi-host, DCN)
     k_poses = poses.shape[0]
     free_pose = ~pose_fixed
 
@@ -273,7 +273,7 @@ def distributed_bundle_adjustment_cg(
     Jacobi-preconditioned CG whose matvec is assembled edge-wise per shard
     and psum-reduced, so nothing of size (K*6)^2 or (K, P) ever exists.
     """
-    axis = mesh.axis_names[0]
+    axis = tuple(mesh.axis_names)  # psum over every mesh axis (ICI and, multi-host, DCN)
     k_poses = poses.shape[0]
 
     def shard_fn(poses, pose_fixed, pts, pv, op, opt_, ouv, om, osig):
