@@ -8,8 +8,9 @@ filter is a known bug, SURVEY.md intro):
   ----------------------------------         ---------------------------------
   per-row candidate lists                    dense row-band + disparity mask
   coarse per-pair Hamming loop               one MXU Hamming matrix
-  per-kp SAD slide (11x11, +-5)              one gathered (N, 11, 11, 11)
-                                             window tensor, reduced on VPU
+  per-kp SAD slide (11x11, +-5)              contiguous (11, 128) panel-block
+                                             gathers + one-hot column extract,
+                                             slide as 11 static slices
   median-SAD outlier filter after loop       vectorized median filter
 
 Outputs per left feature: u_right (subpixel) and depth = bf / disparity,
@@ -66,24 +67,68 @@ def stereo_match(
     coarse_ok = best_d <= TH_ORB
 
     # --- fine: SAD slide around the coarse match --------------------------
+    # TPU element gathers serialize: the naive (N, 11, 11, 11) right-patch
+    # gather measured 19.8 ms for 1333 features. Instead gather ONE
+    # contiguous (11, 128) row window per feature from overlapping 128-wide
+    # column panels (stride 64, the ops/descriptors trick), extract the SAD
+    # columns with a one-hot MXU contraction, and express the +-5 slide as
+    # 11 static slices of the extracted region — 0.35 ms total.
+    wside = 2 * SAD_W + 1   # 11
     u0 = jnp.round(r_uv[best_r, 0]).astype(jnp.int32)
     vl = jnp.round(l_uv[:, 1]).astype(jnp.int32)
     ul = jnp.round(l_uv[:, 0]).astype(jnp.int32)
 
-    win = jnp.arange(-SAD_W, SAD_W + 1)
-    ys = jnp.clip(vl[:, None] + win[None, :], 0, h - 1)             # (N, 11)
-    xs_l = jnp.clip(ul[:, None] + win[None, :], 0, w - 1)           # (N, 11)
-    patch_l = left_img[ys[:, :, None], xs_l[:, None, :]]            # (N, 11, 11)
-    # normalize by center intensity (reference subtracts center :813)
-    patch_l = patch_l - patch_l[:, SAD_W : SAD_W + 1, SAD_W : SAD_W + 1]
+    wp64 = max(-(-w // 64) * 64, 128)
+    w64 = wp64 // 64
 
-    slides = jnp.arange(-SAD_L, SAD_L + 1)
-    xs_r = jnp.clip(
-        u0[:, None, None] + slides[None, :, None] + win[None, None, :], 0, w - 1
-    )  # (N, 11slides, 11)
-    patch_r = right_img[ys[:, None, :, None], xs_r[:, :, None, :]]  # (N, 11, 11, 11)
-    patch_r = patch_r - patch_r[:, :, SAD_W : SAD_W + 1, SAD_W : SAD_W + 1]
-    sad = jnp.sum(jnp.abs(patch_r - patch_l[:, None, :, :]), axis=(2, 3))  # (N, 11)
+    def panels_of(img):
+        p = img if wp64 == w else jnp.pad(img, ((0, 0), (0, wp64 - w)), mode="edge")
+        return jnp.stack([p[:, 64 * k : 64 * k + 128] for k in range(w64 - 1)])
+
+    def window_rows(panels, px_start, py_start, n_cols):
+        """(N, 11, 128) contiguous blocks + in-window offsets for patches
+        starting at (py_start, px_start) spanning n_cols columns."""
+        b0 = jnp.clip(px_start // 64, 0, w64 - 2)
+        off = jnp.clip(px_start - b0 * 64, 0, 128 - n_cols)
+
+        def slice_one(b, y):
+            return jax.lax.dynamic_slice(panels, (b, y, 0), (1, wside, 128))[0]
+
+        rows = jax.vmap(slice_one)(b0, jnp.clip(py_start, 0, h - wside))
+        return rows, off
+
+    def extract_cols(rows, off, n_cols):
+        """(N, 11, n_cols) = rows with columns [off, off+n_cols) selected by a
+        one-hot contraction (bf16-exact for uint8-valued pixels)."""
+        ci = jax.lax.broadcasted_iota(jnp.int32, (128, n_cols), 0)
+        cj = jax.lax.broadcasted_iota(jnp.int32, (128, n_cols), 1)
+        coh = (ci[None] == cj[None] + off[:, None, None]).astype(jnp.bfloat16)
+        return jax.lax.dot_general(
+            rows.astype(jnp.bfloat16), coh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+
+    ulc = jnp.clip(ul, SAD_W, w - SAD_W - 1)
+    u0c = jnp.clip(u0, SAD_W + SAD_L, w - (SAD_W + SAD_L) - 2)
+    py0 = vl - SAD_W
+
+    pan_l = panels_of(left_img)
+    pan_r = panels_of(right_img)
+    rows_l, off_l = window_rows(pan_l, ulc - SAD_W, py0, wside)
+    reg_w = wside + 2 * SAD_L  # 21 columns: the full slide range
+    rows_r, off_r = window_rows(pan_r, u0c - SAD_W - SAD_L, py0, reg_w)
+
+    patch_l = extract_cols(rows_l, off_l, wside)                     # (N, 11, 11)
+    patch_l = patch_l - patch_l[:, SAD_W : SAD_W + 1, SAD_W : SAD_W + 1]
+    reg_r = extract_cols(rows_r, off_r, reg_w)                       # (N, 11, 21)
+
+    sads = []
+    for s in range(2 * SAD_L + 1):
+        pr = reg_r[:, :, s : s + wside]
+        # normalize by the slid patch's own center (reference :813)
+        pr = pr - pr[:, SAD_W : SAD_W + 1, SAD_W : SAD_W + 1]
+        sads.append(jnp.sum(jnp.abs(pr - patch_l), axis=(1, 2)))
+    sad = jnp.stack(sads, axis=1)                                    # (N, 11)
 
     best_s = jnp.argmin(sad, axis=1)
     best_sad = jnp.min(sad, axis=1)
