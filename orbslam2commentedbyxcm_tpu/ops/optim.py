@@ -82,6 +82,37 @@ def _project_residual_jacobian(t_cw, pts_w, obs, fx, fy, cx, cy, bf):
     return r, j_pose, j_point, pc, stereo
 
 
+def inv3x3(m: jnp.ndarray) -> jnp.ndarray:
+    """Batched closed-form 3x3 inverse (adjugate / determinant).
+
+    jnp.linalg.inv on a (512, 3, 3) batch measured 0.435 ms on TPU (LU
+    lowering); the cofactor formula is pure elementwise math (~microseconds)
+    and these landmark blocks are damped SPD, so it is numerically safe."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    c00 = e * i - f * h
+    c01 = c * h - b * i
+    c02 = b * f - c * e
+    c10 = f * g - d * i
+    c11 = a * i - c * g
+    c12 = c * d - a * f
+    c20 = d * h - e * g
+    c21 = b * g - a * h
+    c22 = a * e - b * d
+    det = a * c00 + b * c10 + c * c20
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-20, det, 1.0)
+    adj = jnp.stack(
+        [
+            jnp.stack([c00, c01, c02], -1),
+            jnp.stack([c10, c11, c12], -1),
+            jnp.stack([c20, c21, c22], -1),
+        ],
+        -2,
+    )
+    return adj * inv_det[..., None, None]
+
+
 def _chi2(r, inv_sigma2, stereo):
     n_dim = jnp.where(stereo, 3.0, 2.0)
     del n_dim
@@ -354,37 +385,37 @@ def bundle_adjustment(
         jw_pose = j_pose * w[..., None, None]
         jw_point = j_point * w[..., None, None]
 
-        # block accumulations
-        hcc = jax.ops.segment_sum(
-            jnp.einsum("eij,eik->ejk", jw_pose, j_pose, precision="highest"),
-            obs_pose, num_segments=k_poses,
-        )  # (K, 6, 6)
-        hpp = jax.ops.segment_sum(
-            jnp.einsum("eij,eik->ejk", jw_point, j_point, precision="highest"),
-            obs_point, num_segments=p_pts,
-        )  # (P, 3, 3)
-        g_c = jax.ops.segment_sum(
-            jnp.einsum("eij,ei->ej", jw_pose, r, precision="highest"),
-            obs_pose, num_segments=k_poses,
-        )  # (K, 6)
-        g_p = jax.ops.segment_sum(
-            jnp.einsum("eij,ei->ej", jw_point, r, precision="highest"),
-            obs_point, num_segments=p_pts,
-        )  # (P, 3)
+        # block accumulations as one-hot matmuls: TPU serializes the scatter
+        # lowering of segment_sum / .at[].add (measured 0.52 ms per LM
+        # iteration at E=4096); the same sums as MXU contractions against
+        # {0,1} index matrices take 0.18 ms, exact under precision="highest"
+        oh_k = (obs_pose[None, :] == jnp.arange(k_poses)[:, None]).astype(
+            poses_.dtype
+        )  # (K, E)
+        oh_p = (obs_point[None, :] == jnp.arange(p_pts)[:, None]).astype(
+            poses_.dtype
+        )  # (P, E)
+        e_hcc = jnp.einsum("eij,eik->ejk", jw_pose, j_pose, precision="highest")
+        e_hpp = jnp.einsum("eij,eik->ejk", jw_point, j_point, precision="highest")
+        e_gc = jnp.einsum("eij,ei->ej", jw_pose, r, precision="highest")
+        e_gp = jnp.einsum("eij,ei->ej", jw_point, r, precision="highest")
+        hcc = jnp.einsum(
+            "ke,ex->kx", oh_k, e_hcc.reshape(-1, 36), precision="highest"
+        ).reshape(k_poses, 6, 6)
+        hpp = jnp.einsum(
+            "pe,ex->px", oh_p, e_hpp.reshape(-1, 9), precision="highest"
+        ).reshape(p_pts, 3, 3)
+        g_c = jnp.einsum("ke,ex->kx", oh_k, e_gc, precision="highest")
+        g_p = jnp.einsum("pe,ex->px", oh_p, e_gp, precision="highest")
 
-        # cross blocks W (K, P, 6, 3) via flat scatter-add
+        # cross blocks W (K, P, 6, 3): mask per pose, contract per point
         w_blk = jnp.einsum("eij,eik->ejk", jw_pose, j_point, precision="highest")
-        flat_idx = obs_pose * p_pts + obs_point
-        w_cp = (
-            jnp.zeros((k_poses * p_pts, 6, 3), poses_.dtype)
-            .at[flat_idx]
-            .add(w_blk)
-            .reshape(k_poses, p_pts, 6, 3)
-        )
+        wk = w_blk[None] * oh_k[:, :, None, None]  # (K, E, 6, 3)
+        w_cp = jnp.einsum("pe,keab->kpab", oh_p, wk, precision="highest")
 
-        # damped landmark blocks + inverse
+        # damped landmark blocks + closed-form inverse
         hpp_d = hpp + (lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(hpp)) + 1e-6 * jnp.eye(3))
-        hpp_inv = jnp.linalg.inv(hpp_d)
+        hpp_inv = inv3x3(hpp_d)
         hpp_inv = jnp.where(point_valid[:, None, None], hpp_inv, 0.0)
 
         # Schur complement on the MXU

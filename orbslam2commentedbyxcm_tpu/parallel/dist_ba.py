@@ -43,6 +43,7 @@ from orbslam2commentedbyxcm_tpu.ops.optim import (
     _chi2,
     _huber_weight,
     _project_residual_jacobian,
+    inv3x3,
 )
 from orbslam2commentedbyxcm_tpu.utils.geometry import se3_exp
 
@@ -164,32 +165,27 @@ def distributed_bundle_adjustment(
             jw_pose = j_pose * w[..., None, None]
             jw_point = j_point * w[..., None, None]
 
-            hcc = jax.ops.segment_sum(
-                jnp.einsum("eij,eik->ejk", jw_pose, j_pose, precision="highest"),
-                op, num_segments=k_poses,
-            )
-            hpp = jax.ops.segment_sum(
-                jnp.einsum("eij,eik->ejk", jw_point, j_point, precision="highest"),
-                opt_, num_segments=p_pts,
-            )
-            g_c = jax.ops.segment_sum(
-                jnp.einsum("eij,ei->ej", jw_pose, r, precision="highest"),
-                op, num_segments=k_poses,
-            )
-            g_p = jax.ops.segment_sum(
-                jnp.einsum("eij,ei->ej", jw_point, r, precision="highest"),
-                opt_, num_segments=p_pts,
-            )
+            # one-hot MXU accumulation instead of segment_sum/scatter (TPU
+            # serializes scatters — see ops/optim.bundle_adjustment)
+            oh_k = (op[None, :] == jnp.arange(k_poses)[:, None]).astype(jnp.float32)
+            oh_p = (opt_[None, :] == jnp.arange(p_pts)[:, None]).astype(jnp.float32)
+            e_hcc = jnp.einsum("eij,eik->ejk", jw_pose, j_pose, precision="highest")
+            e_hpp = jnp.einsum("eij,eik->ejk", jw_point, j_point, precision="highest")
+            e_gc = jnp.einsum("eij,ei->ej", jw_pose, r, precision="highest")
+            e_gp = jnp.einsum("eij,ei->ej", jw_point, r, precision="highest")
+            hcc = jnp.einsum(
+                "ke,ex->kx", oh_k, e_hcc.reshape(-1, 36), precision="highest"
+            ).reshape(k_poses, 6, 6)
+            hpp = jnp.einsum(
+                "pe,ex->px", oh_p, e_hpp.reshape(-1, 9), precision="highest"
+            ).reshape(p_pts, 3, 3)
+            g_c = jnp.einsum("ke,ex->kx", oh_k, e_gc, precision="highest")
+            g_p = jnp.einsum("pe,ex->px", oh_p, e_gp, precision="highest")
             w_blk = jnp.einsum("eij,eik->ejk", jw_pose, j_point, precision="highest")
-            flat_idx = op * p_pts + opt_
-            w_cp = (
-                jnp.zeros((k_poses * p_pts, 6, 3))
-                .at[flat_idx]
-                .add(w_blk)
-                .reshape(k_poses, p_pts, 6, 3)
-            )
+            wk = w_blk[None] * oh_k[:, :, None, None]
+            w_cp = jnp.einsum("pe,keab->kpab", oh_p, wk, precision="highest")
             hpp_d = hpp + lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(hpp)) + 1e-6 * jnp.eye(3)
-            hpp_inv = jnp.where(pv[:, None, None], jnp.linalg.inv(hpp_d), 0.0)
+            hpp_inv = jnp.where(pv[:, None, None], inv3x3(hpp_d), 0.0)
 
             y = jnp.einsum("kpab,pbc->kpac", w_cp, hpp_inv, precision="highest")
             s_part = -jnp.einsum("kpab,lpcb->kalc", y, w_cp, precision="highest")
@@ -341,7 +337,7 @@ def distributed_bundle_adjustment_cg(
                 opt_, num_segments=p_pts,
             )
             hpp_d = hpp + lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(hpp)) + 1e-6 * jnp.eye(3)
-            hpp_inv = jnp.where(pv[:, None, None], jnp.linalg.inv(hpp_d), 0.0)
+            hpp_inv = jnp.where(pv[:, None, None], inv3x3(hpp_d), 0.0)
 
             hcc_lm = hcc + lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(hcc))
 
