@@ -20,11 +20,58 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from orbslam2commentedbyxcm_tpu.ops.optim import inv3x3
 from orbslam2commentedbyxcm_tpu.utils.geometry import rt_to_se3
 
 CHI2_H = 5.991
 CHI2_F = 3.841
 SCORE_CAP = 5.991
+
+# Fixed, structure-free start vector for inverse iteration (any vector with
+# non-negligible overlap with the null space works; iteration amplifies the
+# smallest-eigenvalue component by ((l2+eps)/(l1+eps))^iters).
+_II_SEED = jnp.array([0.537, -0.812, 0.291, 0.664, -0.173, 0.925, -0.448, 0.356, -0.609])
+
+
+def smallest_eigvec_psd(g: jnp.ndarray, iters: int = 10, eps: float = 1e-6) -> jnp.ndarray:
+    """Unit eigenvector of the smallest eigenvalue of batched symmetric PSD
+    matrices g (..., d, d) via Cholesky-backed inverse iteration.
+
+    TPU-first replacement for the small-matrix SVD null-space extraction the
+    reference gets from OpenCV (cv::SVD in Initializer::ComputeH21/ComputeF21,
+    src/Initializer.cc:241-287): XLA's TPU SVD lowering is one-sided Jacobi
+    and dominates two-view init; a damped Cholesky + a fixed number of
+    triangular solves is pure batched arithmetic. For a DLT system A x = 0 the
+    caller passes g = A^T A. Degenerate samples (multiple near-zero
+    eigenvalues) return an arbitrary null-space vector — those hypotheses
+    score poorly and lose the RANSAC vote, exactly like the reference's."""
+    d = g.shape[-1]
+    tr = jnp.trace(g, axis1=-2, axis2=-1)
+    damp = eps * jnp.maximum(tr, 1e-12) / d
+    a = g + damp[..., None, None] * jnp.eye(d, dtype=g.dtype)
+    chol = jnp.linalg.cholesky(a)
+    # guard non-finite factorizations (rank-collapsed samples)
+    bad = ~jnp.all(jnp.isfinite(chol), axis=(-2, -1))
+    chol = jnp.where(bad[..., None, None], jnp.eye(d, dtype=g.dtype), chol)
+    x = jnp.broadcast_to(_II_SEED[:d].astype(g.dtype), g.shape[:-1])
+    for _ in range(iters):
+        y = jax.scipy.linalg.solve_triangular(chol, x[..., None], lower=True)
+        x = jax.scipy.linalg.solve_triangular(
+            chol, y, lower=True, trans=1
+        )[..., 0]
+        x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-30)
+    return x
+
+
+def _rank2_project(f: jnp.ndarray) -> jnp.ndarray:
+    """Project batched 3x3 F onto rank 2 (zero the smallest singular value:
+    F' = F - s3 u3 v3^T) without an SVD: u3/v3 are the smallest eigenvectors
+    of F F^T / F^T F (reference enforces this via cv::SVD,
+    src/Initializer.cc:283-287)."""
+    v3 = smallest_eigvec_psd(jnp.swapaxes(f, -1, -2) @ f)
+    u3 = smallest_eigvec_psd(f @ jnp.swapaxes(f, -1, -2))
+    s3 = jnp.einsum("...i,...ij,...j->...", u3, f, v3)
+    return f - s3[..., None, None] * (u3[..., :, None] * v3[..., None, :])
 
 
 def _normalize_points(uv: jnp.ndarray, mask: jnp.ndarray):
@@ -51,8 +98,8 @@ def _dlt_homography(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
     r1 = jnp.stack([z, z, z, -x1, -y1, -o, y2 * x1, y2 * y1, y2], axis=-1)
     r2 = jnp.stack([x1, y1, o, z, z, z, -x2 * x1, -x2 * y1, -x2], axis=-1)
     a = jnp.concatenate([r1, r2], axis=-2)  # (..., 16, 9)
-    _, _, vt = jnp.linalg.svd(a, full_matrices=True)
-    return vt[..., -1, :].reshape(*a.shape[:-2], 3, 3)
+    h = smallest_eigvec_psd(jnp.swapaxes(a, -1, -2) @ a)
+    return h.reshape(*a.shape[:-2], 3, 3)
 
 
 def _eight_point_f(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
@@ -63,11 +110,9 @@ def _eight_point_f(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
     a = jnp.stack(
         [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, o], axis=-1
     )  # (..., 8, 9)
-    _, _, vt = jnp.linalg.svd(a, full_matrices=True)
-    f = vt[..., -1, :].reshape(*a.shape[:-2], 3, 3)
-    u, s, vt2 = jnp.linalg.svd(f)
-    s = s.at[..., 2].set(0.0)
-    return u @ (s[..., None] * vt2)
+    f = smallest_eigvec_psd(jnp.swapaxes(a, -1, -2) @ a)
+    f = f.reshape(*a.shape[:-2], 3, 3)
+    return _rank2_project(f)
 
 
 def _dlt_homography_masked(p1: jnp.ndarray, p2: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -82,8 +127,7 @@ def _dlt_homography_masked(p1: jnp.ndarray, p2: jnp.ndarray, mask: jnp.ndarray) 
     r2 = jnp.stack([x1, y1, o, z, z, z, -x2 * x1, -x2 * y1, -x2], axis=-1)
     w = mask.astype(p1.dtype)[..., None]
     a = jnp.concatenate([r1 * w, r2 * w], axis=-2)
-    _, _, vt = jnp.linalg.svd(a, full_matrices=False)
-    return vt[..., -1, :].reshape(3, 3)
+    return smallest_eigvec_psd(jnp.swapaxes(a, -1, -2) @ a).reshape(3, 3)
 
 
 def _eight_point_f_masked(p1: jnp.ndarray, p2: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -92,11 +136,8 @@ def _eight_point_f_masked(p1: jnp.ndarray, p2: jnp.ndarray, mask: jnp.ndarray) -
     o = jnp.ones_like(x1)
     a = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, o], axis=-1)
     a = a * mask.astype(p1.dtype)[..., None]
-    _, _, vt = jnp.linalg.svd(a, full_matrices=False)
-    f = vt[..., -1, :].reshape(3, 3)
-    u, s, vt2 = jnp.linalg.svd(f)
-    s = s.at[..., 2].set(0.0)
-    return u @ (s[..., None] * vt2)
+    f = smallest_eigvec_psd(jnp.swapaxes(a, -1, -2) @ a).reshape(3, 3)
+    return _rank2_project(f)
 
 
 def _score_h(h: jnp.ndarray, uv1, uv2, mask, sigma: float):
@@ -151,12 +192,18 @@ def triangulate(p1_mat: jnp.ndarray, p2_mat: jnp.ndarray, uv1: jnp.ndarray, uv2:
     for p, uv in ((p1_mat, uv1), (p2_mat, uv2)):
         rows.append(uv[..., 0, None] * p[2] - p[0])
         rows.append(uv[..., 1, None] * p[2] - p[1])
-    a = jnp.stack(rows, axis=-2)  # (..., 4, 4)
-    _, _, vt = jnp.linalg.svd(a)
-    x = vt[..., -1, :]
-    w = x[..., 3]
-    w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
-    return x[..., :3] / w[..., None]
+    a4 = jnp.stack(rows, axis=-2)  # (..., 4, 4) homogeneous DLT rows
+    # Inhomogeneous solve (w := 1): x = argmin |A[:, :3] x + A[:, 3]|^2 via
+    # closed-form 3x3 normal equations — pure elementwise math instead of the
+    # reference's per-point 4x4 cv::SVD (src/Initializer.cc:519-541). Points
+    # at infinity (degenerate normal matrix) come back wrong-but-finite and
+    # are rejected by the callers' cheirality/reprojection gates, the same
+    # gates that reject the SVD path's w~0 solutions.
+    a = a4[..., :3]
+    b = -a4[..., 3]
+    g = jnp.swapaxes(a, -1, -2) @ a
+    atb = jnp.einsum("...ij,...i->...j", a, b)
+    return jnp.einsum("...ij,...j->...i", inv3x3(g), atb)
 
 
 class TwoViewResult(NamedTuple):
