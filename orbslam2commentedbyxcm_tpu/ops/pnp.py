@@ -28,8 +28,133 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from orbslam2commentedbyxcm_tpu.utils.geometry import rt_to_se3
+from orbslam2commentedbyxcm_tpu.utils.geometry import quat_to_rot, rt_to_se3, so3_exp
+
+# Fixed start block for subspace inverse iteration (any full-rank block with
+# non-negligible overlap with the target eigenspace works).
+_BLOCK_SEED = jnp.asarray(
+    np.random.default_rng(7).standard_normal((12, 4)).astype(np.float32)
+)
+_Q_SEED = jnp.array([0.631, -0.427, 0.384, 0.522], jnp.float32)
+
+
+def _inv2x2(m: jnp.ndarray) -> jnp.ndarray:
+    a, b = m[..., 0, 0], m[..., 0, 1]
+    c, d = m[..., 1, 0], m[..., 1, 1]
+    det = a * d - b * c
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    return jnp.stack([
+        jnp.stack([d, -b], axis=-1),
+        jnp.stack([-c, a], axis=-1),
+    ], axis=-2) / det[..., None, None]
+
+
+def inv_small(m: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form batched inverse for n<=6 (recursive block-Schur over 2x2 /
+    3x3 cofactor inverses) — replaces per-lane LU `jnp.linalg.solve`, whose
+    tiny-matrix TPU lowering is a sequential loop. Intended for damped
+    normal-equation matrices (symmetric positive definite)."""
+    from orbslam2commentedbyxcm_tpu.ops.optim import inv3x3
+    n = m.shape[-1]
+    if n == 1:
+        return 1.0 / m
+    if n == 2:
+        return _inv2x2(m)
+    if n == 3:
+        return inv3x3(m)
+    k = 3 if n > 4 else 2
+    a = m[..., :k, :k]
+    b = m[..., :k, k:]
+    c = m[..., k:, :k]
+    d = m[..., k:, k:]
+    ai = inv_small(a)
+    s = d - c @ ai @ b
+    si = inv_small(s)
+    aib = ai @ b
+    cai = c @ ai
+    tl = ai + aib @ si @ cai
+    tr = -aib @ si
+    bl = -si @ cai
+    return jnp.concatenate([
+        jnp.concatenate([tl, tr], axis=-1),
+        jnp.concatenate([bl, si], axis=-1),
+    ], axis=-2)
+
+
+def _smallest_eigvecs_block(g: jnp.ndarray, k: int = 4, iters: int = 16,
+                            eps: float = 1e-7) -> jnp.ndarray:
+    """Orthonormal eigenvectors of the k smallest eigenvalues of batched
+    symmetric PSD g (..., d, d), columns ordered smallest-first.
+
+    Cholesky-backed block inverse iteration with modified Gram-Schmidt —
+    the TPU-first replacement for the per-hypothesis 12x12 SVD the reference
+    takes of M^T M (src/PnPsolver.cc:698-704): XLA lowers small-matrix
+    SVD/eigh to one-sided Jacobi on TPU, which dominated the EPnP RANSAC
+    bank; triangular solves are pure batched arithmetic. Subspace ordering
+    under MGS converges each column to the corresponding eigenvector
+    (smallest first), which is what the beta cases assume of v1..v4."""
+    d = g.shape[-1]
+    tr = jnp.trace(g, axis1=-2, axis2=-1)
+    damp = eps * jnp.maximum(tr, 1e-12) / d
+    a = g + damp[..., None, None] * jnp.eye(d, dtype=g.dtype)
+    chol = jnp.linalg.cholesky(a)
+    bad = ~jnp.all(jnp.isfinite(chol), axis=(-2, -1))
+    chol = jnp.where(bad[..., None, None], jnp.eye(d, dtype=g.dtype), chol)
+    # explicit inverse via ONE triangular solve with d RHS, then the iteration
+    # is pure batched matmul (the per-iteration triangular-solve chain is a
+    # sequential lowering on TPU; matmuls ride the MXU)
+    linv = jax.scipy.linalg.solve_triangular(
+        chol, jnp.broadcast_to(jnp.eye(d, dtype=g.dtype), a.shape), lower=True
+    )
+    binv = linv.swapaxes(-1, -2) @ linv          # = a^{-1}
+    x = jnp.broadcast_to(_BLOCK_SEED[:d, :k].astype(g.dtype), g.shape[:-1] + (k,))
+
+    def mgs(x):
+        cols = []
+        for j in range(k):
+            c = x[..., j]
+            for q in cols:
+                c = c - jnp.sum(c * q, axis=-1, keepdims=True) * q
+            c = c / jnp.maximum(jnp.linalg.norm(c, axis=-1, keepdims=True), 1e-30)
+            cols.append(c)
+        return jnp.stack(cols, axis=-1)
+
+    for _ in range(iters):
+        x = mgs(binv @ x)
+    return x
+
+
+def _dominant_quat(n: jnp.ndarray, iters: int = 12) -> jnp.ndarray:
+    """Unit eigenvector of the largest eigenvalue of a batched symmetric 4x4
+    N matrix via shifted power iteration (replaces jnp.linalg.eigh in the
+    per-lane Horn step; the shift makes the spectrum positive so the maximum
+    eigenvalue is also the dominant one)."""
+    shift = jnp.sqrt(jnp.sum(n * n, axis=(-2, -1), keepdims=True)) + 1e-9
+    a = n + shift * jnp.eye(4, dtype=n.dtype)
+    q = jnp.broadcast_to(_Q_SEED.astype(n.dtype), n.shape[:-1])
+    for _ in range(iters):
+        q = jnp.einsum("...ij,...j->...i", a, q)
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-30)
+    return q
+
+
+def _horn_n_matrix(m: jnp.ndarray) -> jnp.ndarray:
+    """Horn's 4x4 N matrix from a 3x3 correlation m_ij = sum_k a_ki b_kj
+    (the quaternion of its dominant eigenvector rotates a -> b)."""
+    sxx, sxy, sxz = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    syx, syy, syz = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    szx, szy, szz = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    return jnp.stack(
+        [
+            jnp.stack([sxx + syy + szz, syz - szy, szx - sxz, sxy - syx], axis=-1),
+            jnp.stack([syz - szy, sxx - syy - szz, sxy + syx, szx + sxz], axis=-1),
+            jnp.stack([szx - sxz, sxy + syx, -sxx + syy - szz, syz + szy], axis=-1),
+            jnp.stack([sxy - syx, szx + sxz, syz + szy, -sxx - syy + szz], axis=-1),
+        ],
+        axis=-2,
+    )
 
 
 def _dlt_pose(pts3d: jnp.ndarray, uvn: jnp.ndarray, row_weight: jnp.ndarray | None = None):
@@ -49,25 +174,20 @@ def _dlt_pose(pts3d: jnp.ndarray, uvn: jnp.ndarray, row_weight: jnp.ndarray | No
         r1 = r1 * row_weight[..., None]
         r2 = r2 * row_weight[..., None]
     a = jnp.concatenate([r1, r2], axis=-2)
-    _, _, vt = jnp.linalg.svd(a, full_matrices=True)
-    p = vt[..., -1, :].reshape(3, 4)
+    # null space of A via inverse iteration on A^T A (no per-lane SVD)
+    x = _smallest_eigvecs_block(a.swapaxes(-1, -2) @ a, k=1)[..., 0]
+    p = x.reshape(3, 4)
+    # cheirality first, on the projective solution (P is sign-ambiguous):
+    # majority of points must project with positive depth
+    pc_z = pts3d @ p[2, :3] + p[2, 3]
+    p = jnp.where(jnp.sum(jnp.sign(pc_z)) < 0, -p, p)
     m = p[:, :3]
-    # Procrustes: nearest rotation to m (up to scale), det +1
-    u_, s_, vt_ = jnp.linalg.svd(m)
-    d = jnp.linalg.det(u_ @ vt_)
-    fix = jnp.diag(jnp.array([1.0, 1.0, 1.0])).at[2, 2].set(d)
-    r = u_ @ fix @ vt_
-    scale = jnp.sum(s_ * jnp.array([1.0, 1.0, d])) / 3.0
+    # nearest rotation to m (up to scale): quaternion Horn maximizing
+    # tr(R^T m) — pass m^T as the Horn correlation (its convention maximizes
+    # tr(m_horn R)); at the optimum the Procrustes scale is tr(R^T m)/3
+    r = quat_to_rot(_dominant_quat(_horn_n_matrix(m.swapaxes(-1, -2))))
+    scale = jnp.sum(r * m) / 3.0
     t = p[:, 3] / jnp.where(jnp.abs(scale) < 1e-12, 1e-12, scale)
-    # cheirality: majority of points must be in front
-    pc_z = pts3d @ r[2] + t[2]
-    flip = jnp.sum(jnp.sign(pc_z)) < 0
-    r = jnp.where(flip, -r, r)
-    t = jnp.where(flip, -t, t)
-    # re-fix determinant after flip (-R has det -1)
-    u2, _, vt2 = jnp.linalg.svd(r)
-    d2 = jnp.linalg.det(u2 @ vt2)
-    r = u2 @ jnp.diag(jnp.array([1.0, 1.0, 1.0])).at[2, 2].set(d2) @ vt2
     return r, t
 
 
@@ -165,7 +285,7 @@ def _lstsq_nrm(a: jnp.ndarray, b: jnp.ndarray, reg: float = 1e-9) -> jnp.ndarray
     """Small least-squares via regularized normal equations (qr_solve :1268
     stand-in; shapes here are <= 6x5 so normal equations are exact enough)."""
     ata = a.T @ a + reg * jnp.eye(a.shape[1], dtype=a.dtype)
-    return jnp.linalg.solve(ata, a.T @ b)
+    return inv_small(ata) @ (a.T @ b)
 
 
 def _gauss_newton_betas(l_6x10: jnp.ndarray, rho: jnp.ndarray, betas: jnp.ndarray,
@@ -190,10 +310,10 @@ def _horn_rt(pw: jnp.ndarray, pc: jnp.ndarray, w: jnp.ndarray):
     ws = jnp.maximum(jnp.sum(w), 1e-9)
     cw = jnp.sum(w[:, None] * pw, axis=0) / ws
     cc = jnp.sum(w[:, None] * pc, axis=0) / ws
-    h = ((pc - cc) * w[:, None]).T @ (pw - cw)   # (3, 3)
-    u, _, vt = jnp.linalg.svd(h)
-    d = jnp.linalg.det(u @ vt)
-    r = u @ jnp.diag(jnp.array([1.0, 1.0, 1.0], h.dtype)).at[2, 2].set(d) @ vt
+    # quaternion Horn instead of SVD Procrustes: m_ij = sum w a_i b_j with
+    # a = centered pw, b = centered pc gives R mapping pw -> pc
+    m = ((pw - cw) * w[:, None]).T @ (pc - cc)   # (3, 3)
+    r = quat_to_rot(_dominant_quat(_horn_n_matrix(m)))
     t = cc - r @ cw
     return r, t
 
@@ -208,17 +328,27 @@ def _epnp_pose(pts3d: jnp.ndarray, uvn: jnp.ndarray, w: jnp.ndarray):
     """
     ws = jnp.maximum(jnp.sum(w), 1e-9)
 
-    # control points: centroid + PCA axes (ref choose_control_points :775)
+    # control points: centroid + data-scaled basis. The reference uses PCA
+    # axes (choose_control_points :775); EPnP is exact for ANY affinely
+    # independent control points (the barycentric representation is exact and
+    # the betas re-fit whatever basis is chosen), so a Cholesky factor of the
+    # covariance — columns span the same space at matching scales — replaces
+    # the per-lane 3x3 eigh, whose TPU Jacobi lowering dominated the bank.
+    # Damping keeps planar point sets affinely independent (tiny 3rd column),
+    # matching the reference's near-zero 3rd PCA axis behavior.
     c0 = jnp.sum(w[:, None] * pts3d, axis=0) / ws
     a0 = pts3d - c0
     cov = (a0 * w[:, None]).T @ a0 / ws
-    evals, evecs = jnp.linalg.eigh(cov)          # ascending
-    sig = jnp.sqrt(jnp.maximum(evals, 1e-12))
-    cws = jnp.concatenate([c0[None, :], c0[None, :] + (evecs * sig[None, :]).T], axis=0)
+    tr3 = jnp.trace(cov)
+    l = jnp.linalg.cholesky(
+        cov + (1e-6 * jnp.maximum(tr3, 1e-12)) * jnp.eye(3, dtype=cov.dtype)
+    )
+    l = jnp.where(jnp.all(jnp.isfinite(l)), l, jnp.eye(3, dtype=cov.dtype))
+    cws = jnp.concatenate([c0[None, :], c0[None, :] + l.T], axis=0)
 
     # barycentric coordinates (ref compute_barycentric_coordinates :797)
     cc_m = (cws[1:] - cws[0]).T                  # (3, 3) columns = c1-c0 ...
-    cc_inv = jnp.linalg.inv(cc_m + 1e-12 * jnp.eye(3, dtype=cc_m.dtype))
+    cc_inv = inv_small(cc_m + 1e-12 * jnp.eye(3, dtype=cc_m.dtype))
     a123 = (pts3d - cws[0]) @ cc_inv.T           # (m, 3)
     alphas = jnp.concatenate([1.0 - jnp.sum(a123, -1, keepdims=True), a123], -1)
 
@@ -230,10 +360,12 @@ def _epnp_pose(pts3d: jnp.ndarray, uvn: jnp.ndarray, w: jnp.ndarray):
     row_u = (alphas[:, :, None] * jnp.stack([one, zero, -u_], -1)[:, None, :]).reshape(-1, 12)
     row_v = (alphas[:, :, None] * jnp.stack([zero, one, -v_], -1)[:, None, :]).reshape(-1, 12)
     m_mat = jnp.concatenate([row_u * w[:, None], row_v * w[:, None]], axis=0)
-    # SVD of M rather than eigh(M^T M): same null space (ref :698-704) but
-    # avoids squaring the condition number, which matters in float32
-    _, _, m_vt = jnp.linalg.svd(m_mat, full_matrices=True)
-    v4 = m_vt[::-1][:4].T                        # 4 smallest: betas order b1..b4
+    # 4 smallest eigenvectors of M^T M (ref :698-704) by block inverse
+    # iteration — no per-lane SVD. Conditioning is squared vs an SVD of M,
+    # but the Cholesky damping bounds it and the beta Gauss-Newton + the
+    # best-case-by-reprojection selection absorb small subspace error.
+    mtm = m_mat.T @ m_mat
+    v4 = _smallest_eigvecs_block(mtm, k=4)       # columns: betas order b1..b4
 
     # distance constraints (ref compute_L_6x10 :986 / compute_rho :1013)
     vks = v4.T.reshape(4, 4, 3)                  # (beta k, control point, xyz)
@@ -284,7 +416,52 @@ def _epnp_pose(pts3d: jnp.ndarray, uvn: jnp.ndarray, w: jnp.ndarray):
         jnp.stack([betas_c1, betas_c2, betas_c3])
     )
     best = jnp.argmin(errs)
-    return rs[best], ts[best], errs[best]
+    # Gauss-Newton reprojection polish (m points, 6-DoF): recovers the
+    # accuracy the float32 normal-equations null space gives up vs the
+    # reference's double-precision SVD; also sharpens every RANSAC lane
+    # before scoring. Left-multiplicative SE3 perturbation.
+    r_b, t_b = rs[best], ts[best]
+
+    def polish(carry, _):
+        r, t = carry
+        pc = pts3d @ r.T + t
+        z = jnp.where(jnp.abs(pc[:, 2]) < 1e-9, 1e-9, pc[:, 2])
+        u_p, v_p = pc[:, 0] / z, pc[:, 1] / z
+        res = jnp.stack([u_p - uvn[:, 0], v_p - uvn[:, 1]], axis=1)  # (m, 2)
+        zinv = 1.0 / z
+        # d proj / d pc
+        du = jnp.stack([zinv, jnp.zeros_like(z), -pc[:, 0] * zinv * zinv], 1)
+        dv = jnp.stack([jnp.zeros_like(z), zinv, -pc[:, 1] * zinv * zinv], 1)
+        # d pc / d (omega, nu) = [-hat(pc) | I]
+        px, py, pz = pc[:, 0], pc[:, 1], pc[:, 2]
+        zr = jnp.zeros_like(px)
+        neg_hat = jnp.stack([
+            jnp.stack([zr, pz, -py], 1),
+            jnp.stack([-pz, zr, px], 1),
+            jnp.stack([py, -px, zr], 1),
+        ], axis=1)                                 # (m, 3, 3) = -hat(pc)
+        j_u = jnp.concatenate([jnp.einsum("mi,mij->mj", du, neg_hat), du], axis=1)
+        j_v = jnp.concatenate([jnp.einsum("mi,mij->mj", dv, neg_hat), dv], axis=1)
+        j = jnp.concatenate([j_u, j_v], axis=0)    # (2m, 6)
+        wr = jnp.concatenate([w, w], axis=0)
+        jtj = (j * wr[:, None]).T @ j
+        jtr = (j * wr[:, None]).T @ res.T.reshape(-1)
+        jtj = jtj + 1e-8 * jnp.trace(jtj) * jnp.eye(6, dtype=jtj.dtype)
+        dx = -(inv_small(jtj) @ jtr)
+        dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
+        dr = so3_exp(dx[:3])
+        return (dr @ r, dr @ t + dx[3:]), None
+
+    (r_b, t_b), _ = jax.lax.scan(polish, (r_b, t_b), None, length=3)
+    pc = pts3d @ r_b.T + t_b
+    z = jnp.where(jnp.abs(pc[:, 2]) < 1e-9, 1e-9, pc[:, 2])
+    e2 = jnp.sum((pc[:, :2] / z[:, None] - uvn) ** 2, axis=-1)
+    err = jnp.sum(w * e2) / ws
+    err = jnp.where(jnp.isfinite(err), err, jnp.inf)
+    ok = err <= errs[best]
+    r_b = jnp.where(ok, r_b, rs[best])
+    t_b = jnp.where(ok, t_b, ts[best])
+    return r_b, t_b, jnp.minimum(err, errs[best])
 
 
 @functools.partial(
