@@ -261,6 +261,62 @@ def bench_pnp():
     return _diff_time(make_body, jnp.float32(0), reps=2), "ms/solve"
 
 
+def bench_posegraph():
+    """Essential-graph Sim3 pose-graph LM: 256 keyframes, 1024 edges, 20 it."""
+    import jax.numpy as jnp
+
+    from orbslam2commentedbyxcm_tpu.ops.posegraph import optimize_pose_graph
+
+    rng = np.random.default_rng(0)
+    k, e = 256, 1024
+    poses = np.tile(np.eye(4, dtype=np.float32), (k, 1, 1))
+    poses[:, 0, 3] = 0.3 * np.arange(k)
+    # spanning tree + random covisibility + one loop edge
+    ei = np.concatenate([np.arange(k - 1), rng.integers(0, k, e - k + 1)]).astype(np.int32)
+    ej = np.concatenate([np.arange(1, k), rng.integers(0, k, e - k + 1)]).astype(np.int32)
+    ej = np.where(ei == ej, (ej + 1) % k, ej)
+    meas = np.einsum("eij,ejk->eik", poses[ej], np.linalg.inv(poses[ei])).astype(np.float32)
+    fixed = np.zeros(k, bool)
+    fixed[0] = True
+    args = [
+        jnp.asarray(a)
+        for a in (fixed, ei, ej, meas, np.ones(e, bool))
+    ]
+    poses_j = jnp.asarray(poses)
+
+    def make_body():
+        def body(c, _):
+            out = optimize_pose_graph(c, *args, n_iters=20)
+            return out.poses, None
+
+        return body
+
+    return _diff_time(make_body, poses_j, reps=2), "ms/solve"
+
+
+def bench_bow():
+    """BoW tree descent (DBoW2 transform): 1000 descriptors, packaged vocab."""
+    import jax.numpy as jnp
+
+    from orbslam2commentedbyxcm_tpu.ops.bow import _descend, bootstrap_vocabulary
+
+    voc = bootstrap_vocabulary()
+    rng = np.random.default_rng(0)
+    desc = jnp.asarray(rng.integers(0, 2**32, (1000, 8), dtype=np.uint32))
+    node_desc = jnp.asarray(voc.node_desc)
+    children = jnp.asarray(voc.node_children)
+
+    def make_body():
+        def body(c, _):
+            node, group = _descend(desc + c.astype(jnp.uint32), node_desc,
+                                   children, voc.depth, 2)
+            return (node.sum() * 0).astype(jnp.uint32) + c, None
+
+        return body
+
+    return _diff_time(make_body, jnp.uint32(0)), "ms/frame"
+
+
 ALL = {
     "frontend": bench_frontend,
     "track_step": bench_track_step,
@@ -269,6 +325,8 @@ ALL = {
     "hamming": bench_hamming,
     "twoview": bench_twoview,
     "pnp": bench_pnp,
+    "posegraph": bench_posegraph,
+    "bow": bench_bow,
 }
 
 

@@ -66,52 +66,86 @@ def optimize_pose_graph(
     if edge_weight is not None:
         w_e = w_e * edge_weight
 
-    def total_cost(p):
-        r, _ = _res_and_jac(p[edge_i], p[edge_j], edge_meas)
-        return jnp.sum(jnp.sum(r * r, axis=-1) * w_e)
+    # one-hot incidence (K, E): block accumulations become MXU contractions —
+    # TPU serializes the scatter lowering of .at[].add (this assembly measured
+    # ~7 ms/iteration at K=256/E=1024; the one-hot einsums take <1 ms)
+    oh_i = (edge_i[None, :] == jnp.arange(k)[:, None]).astype(jnp.float32)
+    oh_j = (edge_j[None, :] == jnp.arange(k)[:, None]).astype(jnp.float32)
 
-    def gn_step(carry, _):
-        p, lam, err = carry
+    def eval_point(p):
+        """One residual+Jacobian pass -> (cost, H (K,7,K,7), g (K,7))."""
         r, (j_i, j_j) = _res_and_jac(p[edge_i], p[edge_j], edge_meas)
+        err = jnp.sum(jnp.sum(r * r, axis=-1) * w_e)
         j_i = j_i * (free[edge_i] * w_e)[:, None, None]
         j_j = j_j * (free[edge_j] * w_e)[:, None, None]
         r_w = r * w_e[:, None]
 
-        # assemble H (K,7,K,7) and g (K,7) via flat scatter-add
         def blocks(ja, jb):  # (E,7,7) J_a^T J_b
             return jnp.einsum("eri,erj->eij", ja, jb, precision="highest")
 
-        h = jnp.zeros((k * k, 7, 7))
-        h = h.at[edge_i * k + edge_i].add(blocks(j_i, j_i))
-        h = h.at[edge_j * k + edge_j].add(blocks(j_j, j_j))
-        h = h.at[edge_i * k + edge_j].add(blocks(j_i, j_j))
-        h = h.at[edge_j * k + edge_i].add(blocks(j_j, j_i))
-        h = h.reshape(k, k, 7, 7).transpose(0, 2, 1, 3)
-        g = jnp.zeros((k, 7))
-        g = g.at[edge_i].add(jnp.einsum("eri,er->ei", j_i, r_w, precision="highest"))
-        g = g.at[edge_j].add(jnp.einsum("eri,er->ei", j_j, r_w, precision="highest"))
+        def acc(oh_a, oh_b, bab):  # sum_e oh_a[k,e] oh_b[l,e] bab[e] -> (K,7,K,7)
+            t = jnp.einsum("ke,eij->kiej", oh_a, bab, precision="highest")
+            return jnp.einsum("kiej,le->kilj", t, oh_b, precision="highest")
 
-        # damping + fixed handling
+        h = (
+            acc(oh_i, oh_i, blocks(j_i, j_i))
+            + acc(oh_j, oh_j, blocks(j_j, j_j))
+            + acc(oh_i, oh_j, blocks(j_i, j_j))
+            + acc(oh_j, oh_i, blocks(j_j, j_i))
+        )
+        g = jnp.einsum("ke,ei->ki", oh_i,
+                       jnp.einsum("eri,er->ei", j_i, r_w, precision="highest"),
+                       precision="highest")
+        g = g + jnp.einsum("ke,ei->ki", oh_j,
+                           jnp.einsum("eri,er->ei", j_j, r_w, precision="highest"),
+                           precision="highest")
+        return err, h, g
+
+    def residual_cost(p):
+        r = jax.vmap(
+            lambda si, sj, meas: _edge_residual(
+                jnp.zeros(7), jnp.zeros(7), si, sj, meas
+            )
+        )(p[edge_i], p[edge_j], edge_meas)
+        return jnp.sum(jnp.sum(r * r, axis=-1) * w_e)
+
+    fmask = jnp.repeat(free, 7)
+    eye_fixed = jnp.diag(1.0 - fmask)
+
+    def lm_cond(carry):
+        _, _, _, _, _, it, done = carry
+        return (it < n_iters) & jnp.logical_not(done)
+
+    def lm_step(carry):
+        p, h, g, lam, err, it, done = carry
         hmat = h.reshape(k * 7, k * 7)
         dvec = jnp.diag(hmat)
         hmat = hmat + jnp.diag(lam * dvec + 1e-8)
-        fmask = jnp.repeat(free, 7)
-        hmat = hmat * fmask[:, None] * fmask[None, :] + jnp.diag(1.0 - fmask)
+        hmat = hmat * fmask[:, None] * fmask[None, :] + eye_fixed
         gvec = g.reshape(-1) * fmask
 
-        dx = -jnp.linalg.solve(hmat, gvec).reshape(k, 7)
+        # damped H is SPD: one Cholesky beats LU-with-pivoting on TPU
+        cf = jax.scipy.linalg.cho_factor(hmat)
+        dx = -jax.scipy.linalg.cho_solve(cf, gvec).reshape(k, 7)
         dx = dx * free[:, None]
         p_new = jax.vmap(sim3_exp)(dx) @ p
-        err_new = total_cost(p_new)
+        err_new, h_new, g_new = eval_point(p_new)
         accept = err_new < err
         p = jnp.where(accept, p_new, p)
+        h = jnp.where(accept, h_new, h)
+        g = jnp.where(accept, g_new, g)
         lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)
         err = jnp.where(accept, err_new, err)
-        return (p, lam, err), None
+        done = (jnp.max(jnp.abs(dx)) < 1e-7) | (lam >= 1e6)
+        return (p, h, g, lam, err, it + 1, done)
 
-    err0 = total_cost(poses)
-    (p, _, err), _ = jax.lax.scan(gn_step, (poses, jnp.float32(1e-6), err0), None, length=n_iters)
-    return PoseGraphResult(poses=p, cost=err)
+    err0, h0, g0 = eval_point(poses)
+    p, _, _, _, err, _, _ = jax.lax.while_loop(
+        lm_cond, lm_step,
+        (poses, h0, g0, jnp.float32(1e-6), err0, jnp.int32(0), jnp.bool_(False)),
+    )
+    # report the exact final cost (eval_point's err tracks the carried point)
+    return PoseGraphResult(poses=p, cost=residual_cost(p))
 
 
 # ---------------------------------------------------------------------------

@@ -312,13 +312,33 @@ def sim3_exp(xi: jnp.ndarray) -> jnp.ndarray:
     return sim3_make(so3_exp(phi), t, jnp.exp(sigma))
 
 
+def _solve3x3(m: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form cofactor solve of a batched 3x3 system m x = v.
+
+    jnp.linalg.solve lowers to a pivoted LU that TPU serializes per lane —
+    under vmapped jacfwd (14 tangents per pose-graph edge) that dominated
+    sim3_log; the adjugate formula is pure elementwise math."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    c00 = e * i - f * h
+    c10 = f * g - d * i
+    c20 = d * h - e * g
+    det = a * c00 + b * c10 + c * c20
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > _EPS * _EPS * _EPS, det, 1.0)
+    x0 = c00 * v[..., 0] + (c * h - b * i) * v[..., 1] + (b * f - c * e) * v[..., 2]
+    x1 = c10 * v[..., 0] + (a * i - c * g) * v[..., 1] + (c * d - a * f) * v[..., 2]
+    x2 = c20 * v[..., 0] + (b * g - a * h) * v[..., 1] + (a * e - b * d) * v[..., 2]
+    return jnp.stack([x0, x1, x2], axis=-1) * inv_det[..., None]
+
+
 def sim3_log(m: jnp.ndarray) -> jnp.ndarray:
     """(..., 4, 4) [sR t; 0 1] -> (..., 7) [rho, phi, sigma]."""
     s = sim3_scale(m)
     sigma = jnp.log(s)
     phi = so3_log(sim3_rot(m))
     w = _sim3_w(phi, sigma)
-    rho = jnp.linalg.solve(w, m[..., :3, 3][..., None])[..., 0]
+    rho = _solve3x3(w, m[..., :3, 3])
     return jnp.concatenate([rho, phi, sigma[..., None]], axis=-1)
 
 
