@@ -8,8 +8,8 @@ on-device with lax.scan and the reported time is the differential
 (~0.2 s RPC round-trip on the hosted TPU tunnel).
 
 Usage: PYTHONPATH=. python benchmarks/micro.py [name ...]
-Names: frontend, track_step, stereo, local_ba, hamming, twoview, pnp
-(default: all).
+Names: frontend, track_step, stereo, local_ba, hamming, twoview, pnp,
+posegraph, bow (default: all).
 """
 
 import functools
@@ -263,6 +263,7 @@ def bench_pnp():
 
 def bench_posegraph():
     """Essential-graph Sim3 pose-graph LM: 256 keyframes, 1024 edges, 20 it."""
+    import jax
     import jax.numpy as jnp
 
     from orbslam2commentedbyxcm_tpu.ops.posegraph import optimize_pose_graph
@@ -282,7 +283,14 @@ def bench_posegraph():
         jnp.asarray(a)
         for a in (fixed, ei, ej, meas, np.ones(e, bool))
     ]
-    poses_j = jnp.asarray(poses)
+    # Perturb the initial guess away from the optimum (pose 0 stays fixed) so
+    # the LM loop does real work instead of the g=0 early exit after 1 iter.
+    from orbslam2commentedbyxcm_tpu.utils.geometry import sim3_exp
+
+    tangents = np.zeros((k, 7), np.float32)
+    tangents[1:] = rng.normal(0, 0.02, (k - 1, 7)).astype(np.float32)
+    perturb = np.asarray(jax.vmap(sim3_exp)(jnp.asarray(tangents)))
+    poses_j = jnp.asarray(np.einsum("kij,kjl->kil", perturb, poses))
 
     def make_body():
         def body(c, _):

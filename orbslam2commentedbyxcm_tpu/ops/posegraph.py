@@ -49,7 +49,7 @@ class PoseGraphResult(NamedTuple):
     cost: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters",))
+@functools.partial(jax.jit, static_argnames=("n_iters", "assembly"))
 def optimize_pose_graph(
     poses: jnp.ndarray,      # (K, 4, 4) Sim3 [sR t; 0 1], world->cam
     fixed: jnp.ndarray,      # (K,) bool
@@ -59,6 +59,7 @@ def optimize_pose_graph(
     edge_mask: jnp.ndarray,  # (E,) bool
     edge_weight: jnp.ndarray | None = None,
     n_iters: int = 20,
+    assembly: str = "auto",  # 'auto' | 'onehot' | 'scatter'
 ) -> PoseGraphResult:
     k = poses.shape[0]
     free = (~fixed).astype(jnp.float32)
@@ -66,11 +67,44 @@ def optimize_pose_graph(
     if edge_weight is not None:
         w_e = w_e * edge_weight
 
-    # one-hot incidence (K, E): block accumulations become MXU contractions —
-    # TPU serializes the scatter lowering of .at[].add (this assembly measured
-    # ~7 ms/iteration at K=256/E=1024; the one-hot einsums take <1 ms)
-    oh_i = (edge_i[None, :] == jnp.arange(k)[:, None]).astype(jnp.float32)
-    oh_j = (edge_j[None, :] == jnp.arange(k)[:, None]).astype(jnp.float32)
+    n_edges = edge_i.shape[0]
+    # Hessian block assembly strategy (shapes are static, so this is a
+    # trace-time decision). Small graphs: one-hot incidence (K, E) turns the
+    # block accumulation into MXU matmuls — TPU serializes the scatter
+    # lowering of .at[].add (~7 ms/iteration at K=256/E=1024 vs <1 ms).
+    # The contraction runs per 7x7-block component c: (oh_a * bab[:, c]) @
+    # oh_b.T — never materializing a rank-4 (K,7,E,7) intermediate, so peak
+    # extra memory is O(K*E + 49*K*K). Large graphs: the one-hot FLOPs are
+    # O(49*K^2*E), so fall back to the O(E) scatter-add.
+    if assembly == "auto":
+        use_onehot = k * n_edges <= 2_000_000
+    else:
+        use_onehot = assembly == "onehot"
+    if use_onehot:
+        oh_i = (edge_i[None, :] == jnp.arange(k)[:, None]).astype(jnp.float32)
+        oh_j = (edge_j[None, :] == jnp.arange(k)[:, None]).astype(jnp.float32)
+
+        def acc(h, oh_a, oh_b, bab):  # h += sum_e oh_a[k,e] oh_b[l,e] bab[e]
+            def comp(_, bc):  # one of the 49 block components: (E,) -> (K,K)
+                return None, (oh_a * bc) @ oh_b.T
+
+            _, hs = jax.lax.scan(comp, None, bab.reshape(n_edges, 49).T)
+            return h + hs.reshape(7, 7, k, k).transpose(2, 0, 3, 1)
+
+        def acc_g(g, oh_a, ja, r_w):
+            return g + oh_a @ jnp.einsum(
+                "eri,er->ei", ja, r_w, precision="highest"
+            )
+    else:
+
+        def acc(h, idx_a, idx_b, bab):
+            return h.at[idx_a, :, idx_b, :].add(bab)
+
+        def acc_g(g, idx_a, ja, r_w):
+            contrib = jnp.einsum("eri,er->ei", ja, r_w, precision="highest")
+            return g.at[idx_a].add(contrib)
+
+    key_i, key_j = (oh_i, oh_j) if use_onehot else (edge_i, edge_j)
 
     def eval_point(p):
         """One residual+Jacobian pass -> (cost, H (K,7,K,7), g (K,7))."""
@@ -83,31 +117,15 @@ def optimize_pose_graph(
         def blocks(ja, jb):  # (E,7,7) J_a^T J_b
             return jnp.einsum("eri,erj->eij", ja, jb, precision="highest")
 
-        def acc(oh_a, oh_b, bab):  # sum_e oh_a[k,e] oh_b[l,e] bab[e] -> (K,7,K,7)
-            t = jnp.einsum("ke,eij->kiej", oh_a, bab, precision="highest")
-            return jnp.einsum("kiej,le->kilj", t, oh_b, precision="highest")
-
-        h = (
-            acc(oh_i, oh_i, blocks(j_i, j_i))
-            + acc(oh_j, oh_j, blocks(j_j, j_j))
-            + acc(oh_i, oh_j, blocks(j_i, j_j))
-            + acc(oh_j, oh_i, blocks(j_j, j_i))
-        )
-        g = jnp.einsum("ke,ei->ki", oh_i,
-                       jnp.einsum("eri,er->ei", j_i, r_w, precision="highest"),
-                       precision="highest")
-        g = g + jnp.einsum("ke,ei->ki", oh_j,
-                           jnp.einsum("eri,er->ei", j_j, r_w, precision="highest"),
-                           precision="highest")
+        h = jnp.zeros((k, 7, k, 7), jnp.float32)
+        h = acc(h, key_i, key_i, blocks(j_i, j_i))
+        h = acc(h, key_j, key_j, blocks(j_j, j_j))
+        h = acc(h, key_i, key_j, blocks(j_i, j_j))
+        h = acc(h, key_j, key_i, blocks(j_j, j_i))
+        g = jnp.zeros((k, 7), jnp.float32)
+        g = acc_g(g, key_i, j_i, r_w)
+        g = acc_g(g, key_j, j_j, r_w)
         return err, h, g
-
-    def residual_cost(p):
-        r = jax.vmap(
-            lambda si, sj, meas: _edge_residual(
-                jnp.zeros(7), jnp.zeros(7), si, sj, meas
-            )
-        )(p[edge_i], p[edge_j], edge_meas)
-        return jnp.sum(jnp.sum(r * r, axis=-1) * w_e)
 
     fmask = jnp.repeat(free, 7)
     eye_fixed = jnp.diag(1.0 - fmask)
@@ -144,8 +162,9 @@ def optimize_pose_graph(
         lm_cond, lm_step,
         (poses, h0, g0, jnp.float32(1e-6), err0, jnp.int32(0), jnp.bool_(False)),
     )
-    # report the exact final cost (eval_point's err tracks the carried point)
-    return PoseGraphResult(poses=p, cost=residual_cost(p))
+    # the carried err is the exact cost at the carried point (only updated
+    # from eval_point at accepted steps; err0 from eval_point at poses)
+    return PoseGraphResult(poses=p, cost=err)
 
 
 # ---------------------------------------------------------------------------

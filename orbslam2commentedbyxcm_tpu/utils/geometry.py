@@ -325,7 +325,13 @@ def _solve3x3(m: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     c10 = f * g - d * i
     c20 = d * h - e * g
     det = a * c00 + b * c10 + c * c20
-    inv_det = 1.0 / jnp.where(jnp.abs(det) > _EPS * _EPS * _EPS, det, 1.0)
+    # Degenerate (near-singular) m propagates nan so callers can detect it,
+    # like jnp.linalg.solve would. The threshold is relative to the matrix
+    # scale so it is meaningful in float32. For valid sim3 inputs this branch
+    # is unreachable: theta <= pi keeps W nonsingular.
+    scale = jnp.max(jnp.abs(m), axis=(-2, -1))
+    ok = jnp.abs(det) > 1e-12 * scale * scale * scale
+    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), jnp.float32(jnp.nan))
     x0 = c00 * v[..., 0] + (c * h - b * i) * v[..., 1] + (b * f - c * e) * v[..., 2]
     x1 = c10 * v[..., 0] + (a * i - c * g) * v[..., 1] + (c * d - a * f) * v[..., 2]
     x2 = c20 * v[..., 0] + (b * g - a * h) * v[..., 1] + (a * e - b * d) * v[..., 2]

@@ -1,0 +1,61 @@
+"""Both pose-graph Hessian assembly paths (MXU one-hot / scatter-add) must
+converge to the same optimum — ADVICE r1 regression for the O(K*E*49)
+intermediate removal and the large-graph scatter fallback."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orbslam2commentedbyxcm_tpu.ops.posegraph import optimize_pose_graph
+from orbslam2commentedbyxcm_tpu.utils.geometry import sim3_exp
+
+
+def _problem(k=24, e=96, seed=0, perturb=0.04):
+    rng = np.random.default_rng(seed)
+    poses = np.tile(np.eye(4, dtype=np.float32), (k, 1, 1))
+    poses[:, 0, 3] = 0.3 * np.arange(k)
+    poses[:, 1, 3] = 0.1 * np.sin(np.arange(k))
+    ei = np.concatenate([np.arange(k - 1), rng.integers(0, k, e - k + 1)]).astype(np.int32)
+    ej = np.concatenate([np.arange(1, k), rng.integers(0, k, e - k + 1)]).astype(np.int32)
+    ej = np.where(ei == ej, (ej + 1) % k, ej)
+    meas = np.einsum(
+        "eij,ejk->eik", poses[ej], np.linalg.inv(poses[ei])
+    ).astype(np.float32)
+    fixed = np.zeros(k, bool)
+    fixed[0] = True
+    tang = np.zeros((k, 7), np.float32)
+    tang[1:] = rng.normal(0, perturb, (k - 1, 7)).astype(np.float32)
+    pert = np.asarray(jax.vmap(sim3_exp)(jnp.asarray(tang)))
+    p0 = jnp.asarray(np.einsum("kij,kjl->kil", pert, poses))
+    return poses, p0, fixed, ei, ej, meas, np.ones(e, bool)
+
+
+@pytest.mark.parametrize("assembly", ["onehot", "scatter"])
+def test_assembly_modes_converge(assembly):
+    gt, p0, fixed, ei, ej, meas, mask = _problem()
+    out = optimize_pose_graph(
+        p0, jnp.asarray(fixed), jnp.asarray(ei), jnp.asarray(ej),
+        jnp.asarray(meas), jnp.asarray(mask), n_iters=40, assembly=assembly,
+    )
+    assert float(out.cost) < 1e-3
+    # initial cost for reference: the perturbed start is far from optimum
+    out0 = optimize_pose_graph(
+        p0, jnp.asarray(fixed), jnp.asarray(ei), jnp.asarray(ej),
+        jnp.asarray(meas), jnp.asarray(mask), n_iters=0, assembly=assembly,
+    )
+    assert float(out0.cost) > 10 * float(out.cost)
+
+
+def test_assembly_modes_agree():
+    _, p0, fixed, ei, ej, meas, mask = _problem(seed=3)
+    outs = [
+        optimize_pose_graph(
+            p0, jnp.asarray(fixed), jnp.asarray(ei), jnp.asarray(ej),
+            jnp.asarray(meas), jnp.asarray(mask), n_iters=15, assembly=a,
+        )
+        for a in ("onehot", "scatter")
+    ]
+    np.testing.assert_allclose(
+        np.asarray(outs[0].poses), np.asarray(outs[1].poses), atol=5e-4
+    )
