@@ -408,10 +408,16 @@ def bundle_adjustment(
         g_c = jnp.einsum("ke,ex->kx", oh_k, e_gc, precision="highest")
         g_p = jnp.einsum("pe,ex->px", oh_p, e_gp, precision="highest")
 
-        # cross blocks W (K, P, 6, 3): mask per pose, contract per point
+        # cross blocks W (K, P, 6, 3): per 6x3-block component c, one
+        # (K,E)x(E,P) matmul — avoids materializing a (K,E,6,3) intermediate
+        # (same trick as posegraph.py's Hessian assembly, ADVICE r1)
         w_blk = jnp.einsum("eij,eik->ejk", jw_pose, j_point, precision="highest")
-        wk = w_blk[None] * oh_k[:, :, None, None]  # (K, E, 6, 3)
-        w_cp = jnp.einsum("pe,keab->kpab", oh_p, wk, precision="highest")
+
+        def w_comp(_, wc):  # (E,) -> (K, P)
+            return None, (oh_k * wc) @ oh_p.T
+
+        _, w_parts = jax.lax.scan(w_comp, None, w_blk.reshape(-1, 18).T)
+        w_cp = w_parts.reshape(6, 3, k_poses, p_pts).transpose(2, 3, 0, 1)
 
         # damped landmark blocks + closed-form inverse
         hpp_d = hpp + (lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(hpp)) + 1e-6 * jnp.eye(3))

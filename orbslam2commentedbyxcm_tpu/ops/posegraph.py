@@ -20,9 +20,12 @@ import jax
 import jax.numpy as jnp
 
 from orbslam2commentedbyxcm_tpu.utils.geometry import (
+    hat,
     sim3_exp,
     sim3_inverse,
     sim3_log,
+    sim3_rot,
+    sim3_scale,
 )
 
 
@@ -34,14 +37,39 @@ def _edge_residual(delta_i, delta_j, s_i, s_j, meas_ji):
     return sim3_log(sim3_inverse(meas_ji) @ rel)
 
 
-_res_and_jac = jax.vmap(
-    lambda si, sj, meas: (
-        _edge_residual(jnp.zeros(7), jnp.zeros(7), si, sj, meas),
-        jax.jacfwd(_edge_residual, argnums=(0, 1))(
-            jnp.zeros(7), jnp.zeros(7), si, sj, meas
-        ),
+def _sim3_adjoint(x):
+    """Adjoint of a Sim3 [sR t; 0 1] on tangents [rho, phi, sigma]:
+    Ad(X) = [[sR, t^ R, -t], [0, R, 0], [0, 0, 1]]  (7, 7)."""
+    s = sim3_scale(x)
+    r = sim3_rot(x)
+    t = x[:3, 3]
+    top = jnp.concatenate([s * r, hat(t) @ r, -t[:, None]], axis=1)
+    mid = jnp.concatenate([jnp.zeros((3, 3)), r, jnp.zeros((3, 1))], axis=1)
+    bot = jnp.concatenate(
+        [jnp.zeros((1, 6)), jnp.ones((1, 1))], axis=1
     )
-)
+    return jnp.concatenate([top, mid, bot], axis=0)
+
+
+def _edge_res_jac_single(si, sj, meas):
+    """Residual + both Jacobians from ONE 7-tangent jacfwd.
+
+    With Q = S_j S_i^-1 and X0 = meas^-1 Q:
+      r(di, dj) = log(X0 . exp(Ad(Q^-1) dj) . exp(-di))
+    so for F(u) = log(X0 exp(u)) with DF = dF/du at 0:
+      J_j = DF . Ad(Q^-1),   J_i = -DF.
+    Halves the autodiff width vs jacfwd over (di, dj) and differentiates a
+    shorter graph (one exp + one matmul + log instead of two exps, an
+    inverse and three matmuls)."""
+    q = sj @ sim3_inverse(si)
+    x0 = sim3_inverse(meas) @ q
+    r0 = sim3_log(x0)
+    df = jax.jacfwd(lambda u: sim3_log(x0 @ sim3_exp(u)))(jnp.zeros(7))
+    j_j = df @ _sim3_adjoint(sim3_inverse(q))
+    return r0, (-df, j_j)
+
+
+_res_and_jac = jax.vmap(_edge_res_jac_single)
 
 
 class PoseGraphResult(NamedTuple):
