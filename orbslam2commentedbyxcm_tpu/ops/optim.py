@@ -388,7 +388,12 @@ def bundle_adjustment(
         # block accumulations as one-hot matmuls: TPU serializes the scatter
         # lowering of segment_sum / .at[].add (measured 0.52 ms per LM
         # iteration at E=4096); the same sums as MXU contractions against
-        # {0,1} index matrices take 0.18 ms, exact under precision="highest"
+        # {0,1} index matrices take a fraction of that. Gradients (g_c, g_p)
+        # stay at precision="highest" — they set the step direction and the
+        # convergence test. The Hessian blocks use the default single-pass
+        # bf16 MXU mode: one-hot entries are exact in bf16 and the ~0.4%
+        # rounding of block values only perturbs the LM *model*; every step
+        # is still accepted/rejected against the exact f32 cost.
         oh_k = (obs_pose[None, :] == jnp.arange(k_poses)[:, None]).astype(
             poses_.dtype
         )  # (K, E)
@@ -399,24 +404,19 @@ def bundle_adjustment(
         e_hpp = jnp.einsum("eij,eik->ejk", jw_point, j_point, precision="highest")
         e_gc = jnp.einsum("eij,ei->ej", jw_pose, r, precision="highest")
         e_gp = jnp.einsum("eij,ei->ej", jw_point, r, precision="highest")
-        hcc = jnp.einsum(
-            "ke,ex->kx", oh_k, e_hcc.reshape(-1, 36), precision="highest"
-        ).reshape(k_poses, 6, 6)
-        hpp = jnp.einsum(
-            "pe,ex->px", oh_p, e_hpp.reshape(-1, 9), precision="highest"
-        ).reshape(p_pts, 3, 3)
+        hcc = (oh_k @ e_hcc.reshape(-1, 36)).reshape(k_poses, 6, 6)
+        hpp = (oh_p @ e_hpp.reshape(-1, 9)).reshape(p_pts, 3, 3)
         g_c = jnp.einsum("ke,ex->kx", oh_k, e_gc, precision="highest")
         g_p = jnp.einsum("pe,ex->px", oh_p, e_gp, precision="highest")
 
         # cross blocks W (K, P, 6, 3): per 6x3-block component c, one
-        # (K,E)x(E,P) matmul — avoids materializing a (K,E,6,3) intermediate
-        # (same trick as posegraph.py's Hessian assembly, ADVICE r1)
+        # (K,E)x(E,P) matmul, batched over the 18 components (c is a batch
+        # dim of one batched MXU matmul — a lax.scan here serializes 18
+        # launches). Never materializes a (K,E,6,3) intermediate (ADVICE r1).
         w_blk = jnp.einsum("eij,eik->ejk", jw_pose, j_point, precision="highest")
-
-        def w_comp(_, wc):  # (E,) -> (K, P)
-            return None, (oh_k * wc) @ oh_p.T
-
-        _, w_parts = jax.lax.scan(w_comp, None, w_blk.reshape(-1, 18).T)
+        w_parts = jnp.einsum(
+            "cke,pe->ckp", oh_k[None] * w_blk.reshape(-1, 18).T[:, None, :], oh_p
+        )
         w_cp = w_parts.reshape(6, 3, k_poses, p_pts).transpose(2, 3, 0, 1)
 
         # damped landmark blocks + closed-form inverse

@@ -99,11 +99,19 @@ def optimize_pose_graph(
     # Hessian block assembly strategy (shapes are static, so this is a
     # trace-time decision). Small graphs: one-hot incidence (K, E) turns the
     # block accumulation into MXU matmuls — TPU serializes the scatter
-    # lowering of .at[].add (~7 ms/iteration at K=256/E=1024 vs <1 ms).
-    # The contraction runs per 7x7-block component c: (oh_a * bab[:, c]) @
-    # oh_b.T — never materializing a rank-4 (K,7,E,7) intermediate, so peak
-    # extra memory is O(K*E + 49*K*K). Large graphs: the one-hot FLOPs are
-    # O(49*K^2*E), so fall back to the O(E) scatter-add.
+    # lowering of .at[].add (~7 ms/iteration at K=256/E=1024 vs <0.2 ms).
+    # Per 7x7-block component c the contraction is a batched matmul
+    # (oh_a * bab[:, c]) @ oh_b.T (batch dim c = 49) — never materializing a
+    # rank-4 (K,7,E,7) intermediate. Diagonal (i,i)+(j,j) contributions run
+    # as ONE batched matmul over the concatenated 2E incidence, and the
+    # (j,i) blocks are the transpose of the (i,j) ones, so the whole H costs
+    # two batched matmuls. MXU precision is the default bf16 single pass:
+    # one-hot entries are exact in bf16 and the ~0.4% rounding of the block
+    # values only perturbs the LM model (H), never the decision sequence —
+    # acceptance tests against the exact f32 residual cost (measured 0.68 ms
+    # -> 0.11 ms per assembly vs the 6-pass "highest" lowering at
+    # K=256/E=1024). Large graphs: the one-hot FLOPs are O(49*K^2*E), so
+    # fall back to the O(E) scatter-add.
     if assembly == "auto":
         use_onehot = k * n_edges <= 2_000_000
     else:
@@ -111,31 +119,43 @@ def optimize_pose_graph(
     if use_onehot:
         oh_i = (edge_i[None, :] == jnp.arange(k)[:, None]).astype(jnp.float32)
         oh_j = (edge_j[None, :] == jnp.arange(k)[:, None]).astype(jnp.float32)
+        oh_cat = jnp.concatenate([oh_i, oh_j], axis=1)  # (K, 2E)
 
-        def acc(h, oh_a, oh_b, bab):  # h += sum_e oh_a[k,e] oh_b[l,e] bab[e]
-            def comp(_, bc):  # one of the 49 block components: (E,) -> (K,K)
-                return None, (oh_a * bc) @ oh_b.T
-
-            _, hs = jax.lax.scan(comp, None, bab.reshape(n_edges, 49).T)
-            return h + hs.reshape(7, 7, k, k).transpose(2, 0, 3, 1)
+        def assemble_h(b_ii, b_jj, b_ij):
+            # sum_e oh_a[k,e] oh_b[l,e] bab[e,c] for the three block kinds
+            b_cat = jnp.concatenate([b_ii, b_jj], axis=0)  # (2E, 7, 7)
+            lhs = oh_cat[None] * b_cat.reshape(2 * n_edges, 49).T[:, None, :]
+            h_diag = jnp.einsum("cke,le->ckl", lhs, oh_cat)
+            lhs2 = oh_i[None] * b_ij.reshape(n_edges, 49).T[:, None, :]
+            h_cross = jnp.einsum("cke,le->ckl", lhs2, oh_j)
+            h = h_diag.reshape(7, 7, k, k).transpose(2, 0, 3, 1)
+            hc = h_cross.reshape(7, 7, k, k).transpose(2, 0, 3, 1)
+            return h + hc + hc.transpose(2, 3, 0, 1)
 
         def acc_g(g, oh_a, ja, r_w):
             return g + oh_a @ jnp.einsum(
                 "eri,er->ei", ja, r_w, precision="highest"
             )
+
+        key_i, key_j = oh_i, oh_j
     else:
 
-        def acc(h, idx_a, idx_b, bab):
-            return h.at[idx_a, :, idx_b, :].add(bab)
+        def assemble_h(b_ii, b_jj, b_ij):
+            h = jnp.zeros((k, 7, k, 7), jnp.float32)
+            h = h.at[edge_i, :, edge_i, :].add(b_ii)
+            h = h.at[edge_j, :, edge_j, :].add(b_jj)
+            h = h.at[edge_i, :, edge_j, :].add(b_ij)
+            h = h.at[edge_j, :, edge_i, :].add(b_ij.transpose(0, 2, 1))
+            return h
 
         def acc_g(g, idx_a, ja, r_w):
             contrib = jnp.einsum("eri,er->ei", ja, r_w, precision="highest")
             return g.at[idx_a].add(contrib)
 
-    key_i, key_j = (oh_i, oh_j) if use_onehot else (edge_i, edge_j)
+        key_i, key_j = edge_i, edge_j
 
     def eval_point(p):
-        """One residual+Jacobian pass -> (cost, H (K,7,K,7), g (K,7))."""
+        """One residual+Jacobian pass -> (cost, H (7K, 7K), diag(H), g (7K,))."""
         r, (j_i, j_j) = _res_and_jac(p[edge_i], p[edge_j], edge_meas)
         err = jnp.sum(jnp.sum(r * r, axis=-1) * w_e)
         j_i = j_i * (free[edge_i] * w_e)[:, None, None]
@@ -145,50 +165,69 @@ def optimize_pose_graph(
         def blocks(ja, jb):  # (E,7,7) J_a^T J_b
             return jnp.einsum("eri,erj->eij", ja, jb, precision="highest")
 
-        h = jnp.zeros((k, 7, k, 7), jnp.float32)
-        h = acc(h, key_i, key_i, blocks(j_i, j_i))
-        h = acc(h, key_j, key_j, blocks(j_j, j_j))
-        h = acc(h, key_i, key_j, blocks(j_i, j_j))
-        h = acc(h, key_j, key_i, blocks(j_j, j_i))
+        b_ii, b_jj = blocks(j_i, j_i), blocks(j_j, j_j)
+        h = assemble_h(b_ii, b_jj, blocks(j_i, j_j)).reshape(k * 7, k * 7)
         g = jnp.zeros((k, 7), jnp.float32)
         g = acc_g(g, key_i, j_i, r_w)
         g = acc_g(g, key_j, j_j, r_w)
-        return err, h, g
+        # diag(H) from the per-edge block diagonals — jnp.diag on a (7K, 7K)
+        # matrix lowers to a serialized strided gather on TPU (~0.7 ms at
+        # K=256); this (K, 2E) @ (2E, 7) matmul is free by comparison.
+        d_cat = jnp.concatenate(
+            [
+                b_ii[:, jnp.arange(7), jnp.arange(7)],
+                b_jj[:, jnp.arange(7), jnp.arange(7)],
+            ],
+            axis=0,
+        )  # (2E, 7)
+        if use_onehot:
+            dvec = oh_cat @ d_cat
+        else:
+            dvec = jnp.zeros((k, 7), jnp.float32)
+            dvec = dvec.at[edge_i].add(d_cat[:n_edges])
+            dvec = dvec.at[edge_j].add(d_cat[n_edges:])
+        return err, h, dvec.reshape(-1), g.reshape(-1)
 
     fmask = jnp.repeat(free, 7)
-    eye_fixed = jnp.diag(1.0 - fmask)
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (k * 7, k * 7), 0)
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (k * 7, k * 7), 1)
+    on_diag = row_idx == col_idx
 
     def lm_cond(carry):
-        _, _, _, _, _, it, done = carry
+        _, _, _, _, _, _, it, done = carry
         return (it < n_iters) & jnp.logical_not(done)
 
     def lm_step(carry):
-        p, h, g, lam, err, it, done = carry
-        hmat = h.reshape(k * 7, k * 7)
-        dvec = jnp.diag(hmat)
-        hmat = hmat + jnp.diag(lam * dvec + 1e-8)
-        hmat = hmat * fmask[:, None] * fmask[None, :] + eye_fixed
-        gvec = g.reshape(-1) * fmask
+        p, h, dvec, g, lam, err, it, done = carry
+        # The Jacobians of fixed poses are pre-zeroed in eval_point, so H and
+        # g already have zero rows/cols there — folding the unit diagonal of
+        # the fixed block into the damping term (1 - fmask) keeps the damped
+        # system SPD without any full (7K, 7K) masking passes. The damping
+        # add itself is a fused iota-select pass (jnp.diag construction is a
+        # serialized scatter on TPU, ~0.7 ms at K=256).
+        damp = lam * dvec + 1e-8 + (1.0 - fmask)
+        hmat = jnp.where(on_diag, h + damp[None, :], h)
 
         # damped H is SPD: one Cholesky beats LU-with-pivoting on TPU
         cf = jax.scipy.linalg.cho_factor(hmat)
-        dx = -jax.scipy.linalg.cho_solve(cf, gvec).reshape(k, 7)
+        dx = -jax.scipy.linalg.cho_solve(cf, g).reshape(k, 7)
         dx = dx * free[:, None]
         p_new = jax.vmap(sim3_exp)(dx) @ p
-        err_new, h_new, g_new = eval_point(p_new)
+        err_new, h_new, d_new, g_new = eval_point(p_new)
         accept = err_new < err
         p = jnp.where(accept, p_new, p)
         h = jnp.where(accept, h_new, h)
+        dvec = jnp.where(accept, d_new, dvec)
         g = jnp.where(accept, g_new, g)
         lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)
         err = jnp.where(accept, err_new, err)
         done = (jnp.max(jnp.abs(dx)) < 1e-7) | (lam >= 1e6)
-        return (p, h, g, lam, err, it + 1, done)
+        return (p, h, dvec, g, lam, err, it + 1, done)
 
-    err0, h0, g0 = eval_point(poses)
-    p, _, _, _, err, _, _ = jax.lax.while_loop(
+    err0, h0, d0, g0 = eval_point(poses)
+    p, _, _, _, _, err, _, _ = jax.lax.while_loop(
         lm_cond, lm_step,
-        (poses, h0, g0, jnp.float32(1e-6), err0, jnp.int32(0), jnp.bool_(False)),
+        (poses, h0, d0, g0, jnp.float32(1e-6), err0, jnp.int32(0), jnp.bool_(False)),
     )
     # the carried err is the exact cost at the carried point (only updated
     # from eval_point at accepted steps; err0 from eval_point at poses)
