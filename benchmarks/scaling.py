@@ -17,6 +17,7 @@ Usage: python benchmarks/scaling.py [--poses 64] [--points 16384] [--obs-per-poi
 """
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -85,7 +86,16 @@ def build_problem(k, p, obs_per_point, seed=0):
     )
 
 
+def _force_cpu():
+    # the hosted "axon" TPU plugin ignores the JAX_PLATFORMS env var; force
+    # the virtual-device CPU platform via the config API as well
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
 def run(n_devices_list=(1, 2, 4, 8), k=48, p=4096, obs_per_point=4, reps=3):
+    _force_cpu()
     import jax
     import jax.numpy as jnp
 
@@ -145,10 +155,92 @@ def run(n_devices_list=(1, 2, 4, 8), k=48, p=4096, obs_per_point=4, reps=3):
     return results
 
 
+def run_frontend_dp(n_devices=8):
+    """Data-parallel frontend: one frame per device under shard_map.
+
+    The mapping/loop threads of the reference process one keyframe at a time;
+    this framework's batch axis (SURVEY §2.3 "dp over frames") lets N chips
+    extract N frames concurrently — the throughput mode for multi-session
+    mapping / offline map building. This host has too few cores for
+    virtual-device *timing* to mean anything (XLA:CPU already multi-threads a
+    single device across all cores), so this check verifies the two things
+    that determine real-hardware scaling instead:
+
+      1. the compiled sharded program contains ZERO cross-device collectives
+         (inspected from the optimized HLO) — per-frame work is fully
+         independent, so throughput on a real slice scales linearly with
+         chips by construction;
+      2. per-device outputs are bit-identical to the unsharded program.
+    """
+    _force_cpu()
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    from orbslam2commentedbyxcm_tpu.ops.orb import ORBExtractor
+    from orbslam2commentedbyxcm_tpu.parallel import dist_ba
+
+    h, w = 240, 320
+    ext = ORBExtractor(n_features=300, n_levels=4, use_pallas=False)
+    rng = np.random.default_rng(0)
+    nd = min(n_devices, len(jax.devices()))
+    mesh = dist_ba.make_mesh(nd)
+    imgs = rng.uniform(0, 255, (nd, h, w)).astype(np.float32)
+
+    def one(imgs_shard):
+        f = ext._extract(imgs_shard[0], shape=(h, w))
+        return f.desc[None], f.uv[None]
+
+    fn = jax.jit(
+        shard_map(
+            one, mesh=mesh, in_specs=(P(mesh.axis_names[0]),),
+            out_specs=(P(mesh.axis_names[0]),) * 2, check_vma=False,
+        )
+    )
+    compiled = fn.lower(jnp.asarray(imgs)).compile()
+    hlo = compiled.as_text()
+    collectives = [
+        op for op in (
+            "all-reduce", "all-gather", "all-to-all", "collective-permute",
+            "reduce-scatter",
+        ) if op in hlo
+    ]
+    desc_dp, uv_dp = fn(jnp.asarray(imgs))
+    # parity vs the unsharded per-frame program
+    f0 = jax.jit(functools.partial(ext._extract, shape=(h, w)))(jnp.asarray(imgs[0]))
+    exact = bool(
+        np.array_equal(np.asarray(desc_dp[0]), np.asarray(f0.desc))
+        and np.array_equal(np.asarray(uv_dp[0]), np.asarray(f0.uv))
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"frontend_dp_d{nd}",
+                "value": nd,
+                "unit": "frames/step",
+                "collectives_in_hlo": collectives,
+                "matches_unsharded": exact,
+            }
+        ),
+        flush=True,
+    )
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--poses", type=int, default=48)
     ap.add_argument("--points", type=int, default=4096)
     ap.add_argument("--obs-per-point", type=int, default=4)
+    ap.add_argument(
+        "--bench", choices=("dist_ba", "frontend_dp", "all"), default="all"
+    )
     args = ap.parse_args()
-    run(k=args.poses, p=args.points, obs_per_point=args.obs_per_point)
+    if args.bench in ("dist_ba", "all"):
+        run(k=args.poses, p=args.points, obs_per_point=args.obs_per_point)
+    if args.bench in ("frontend_dp", "all"):
+        run_frontend_dp()
