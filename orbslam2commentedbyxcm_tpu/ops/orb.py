@@ -130,16 +130,44 @@ def _resize_weights(n_in: int, n_out: int) -> np.ndarray:
     return np.ascontiguousarray(wgt.T.astype(np.float32))
 
 
+def fast_response(ups):
+    """FAST-9 corner response V from the 16 ring-difference planes.
+
+    V is the classic OpenCV/reference score (src/ORBextractor.cc FAST calls):
+    the largest threshold t at which the pixel is still a corner, i.e.
+      V = max(max_k min_{j in 9-window k} up_j,  max_k min_j (-up_j)).
+    "corner at threshold th" <=> V > th, so ONE response plane serves both
+    the 20 and 7 threshold maps. The circular sliding-window minimum runs by
+    doubling over the ring index (min2 -> min4 -> min8 -> min9), which is
+    pure list reindexing — no data movement — so the whole test costs ~100
+    elementwise ops/pixel vs ~380 for per-threshold run-length counting.
+    `ups` is a length-16 list of identically-shaped planes.
+    """
+    assert len(ups) == 16 and ARC_LEN == 9  # the doubling below is 9-specific
+    n = len(ups)
+
+    def window_min9(vals):
+        m2 = [jnp.minimum(vals[k], vals[(k + 1) % n]) for k in range(n)]
+        m4 = [jnp.minimum(m2[k], m2[(k + 2) % n]) for k in range(n)]
+        m8 = [jnp.minimum(m4[k], m4[(k + 4) % n]) for k in range(n)]
+        m9 = [jnp.minimum(m8[k], vals[(k + 8) % n]) for k in range(n)]
+        out = m9[0]
+        for k in range(1, n):
+            out = jnp.maximum(out, m9[k])
+        return out
+
+    v_bright = window_min9(ups)
+    v_dark = window_min9([-u for u in ups])
+    return jnp.maximum(v_bright, v_dark)
+
+
 def _fast_maps(img: jnp.ndarray, th_hi: float, th_lo: float):
     """Dense FAST-9 corner score maps at two thresholds.
 
-    Returns (score_hi, score_lo, corner_hi) of shape (H, W); score is the
-    sum of ring differences beyond threshold (0 where not a corner), a
-    monotone corner-strength proxy used only for ranking/NMS.
-
-    All math in f32: sums of <=16 integer-valued terms are exact in f32, so
-    the result is order-independent and bit-identical to the fused Pallas
-    kernel's sequential accumulation.
+    Returns (score_hi, score_lo, corner_hi) of shape (H, W); the score is the
+    max-sustaining-threshold response V (see fast_response), zero where the
+    pixel is not a corner at that threshold — the same score OpenCV's FAST
+    uses for ranking, and bit-identical to the fused Pallas kernel.
     """
     h, w = img.shape
     hi, wi = h - 6, w - 6
@@ -148,33 +176,14 @@ def _fast_maps(img: jnp.ndarray, th_hi: float, th_lo: float):
         img[3 + dy : 3 + dy + hi, 3 + dx : 3 + dx + wi] - center
         for dx, dy in _RING
     ]  # 16 x (hi, wi) f32
-
-    def score_at(th):
-        bright = jnp.stack([up > th for up in ups], axis=0)
-        dark = jnp.stack([-up > th for up in ups], axis=0)
-
-        def has_arc(mask):
-            ext = jnp.concatenate([mask, mask[: ARC_LEN - 1]], axis=0).astype(jnp.int32)
-            c = jnp.cumsum(ext, axis=0)
-            zero = jnp.zeros_like(c[:1])
-            c = jnp.concatenate([zero, c], axis=0)
-            runs = c[ARC_LEN:] - c[:-ARC_LEN]  # (16, hi, wi) window sums
-            return jnp.any(runs == ARC_LEN, axis=0)
-
-        is_b = has_arc(bright)
-        is_d = has_arc(dark)
-        sb = sum(jnp.maximum(up - th, 0.0) for up in ups)
-        sd = sum(jnp.maximum(-up - th, 0.0) for up in ups)
-        score = jnp.maximum(jnp.where(is_b, sb, 0.0), jnp.where(is_d, sd, 0.0))
-        return score, is_b | is_d
-
-    s_hi, c_hi = score_at(th_hi)
-    s_lo, _ = score_at(th_lo)
+    v = fast_response(ups)
+    s_hi = jnp.where(v > th_hi, v, 0.0)
+    s_lo = jnp.where(v > th_lo, v, 0.0)
     pad = ((3, 3), (3, 3))
     return (
         jnp.pad(s_hi, pad),
         jnp.pad(s_lo, pad),
-        jnp.pad(c_hi, pad),
+        jnp.pad(s_hi > 0.0, pad),
     )
 
 

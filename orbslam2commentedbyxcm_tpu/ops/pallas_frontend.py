@@ -7,10 +7,10 @@ The XLA lowering of this stage materializes every intermediate ((16, H, W)
 ring stacks, blur passes, pooled maps) to HBM — measured ~3.2 ms per 640x480
 level where the memory-bound roof is ~30 us. This kernel DMAs one overlapping
 row window (tile + 2*PAD halo) from HBM to VMEM per grid step and keeps the
-whole computation in vector registers: the FAST arc test runs as one fused
-loop over the 24 wrapped ring positions maintaining run-length counters for
-both thresholds simultaneously (instead of 2x16 materialized flag planes,
-which blew the VMEM stack).
+whole computation in vector registers: the FAST corner test computes the
+max-sustaining-threshold response V once (ops/orb.fast_response — circular
+sliding-window minima by ring-index doubling) and derives both threshold
+maps from it with two compares.
 
 Semantics match ops/orb._separable_blur + _fast_maps + _nms3 on the interior
 (border handling differs inside the excluded margin); ORBExtractor uses this
@@ -27,7 +27,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from orbslam2commentedbyxcm_tpu.ops.orb import _RING, ARC_LEN, _gauss_kernel
+from orbslam2commentedbyxcm_tpu.ops.orb import _RING, _gauss_kernel
 
 _PAD = 8  # halo: max stencil reach is 4 (blur radius 4; FAST ring 3 + NMS 1)
 
@@ -63,15 +63,19 @@ def _kernel(
         bl = bl + float(taps[k]) * _shift(acc, k - r, 0)
     blur_ref[:] = bl[_PAD : _PAD + tile_h, :]
 
-    # --- FAST-9, both thresholds, single fused ring loop ------------------
-    # Lane rolls dominate this kernel's cost. Two reductions vs the naive
-    # 24 x (lane+sublane) roll loop:
-    #   1. the 16 ring positions share only 7 distinct column offsets, so do
-    #      6 lane rolls once (dx = +-1, +-2, +-3) and give each ring position
-    #      a cheap sublane roll of the shared copy;
-    #   2. wrapped arc positions (k >= 16) reuse the k-16 difference outright.
-    # Everything stays f32/int32: Mosaic on this target supports neither
-    # rotates nor comparisons on 16-bit data (both were tried).
+    # --- FAST-9 response V, both thresholds from ONE plane ----------------
+    # Lane rolls dominate the diff computation: the 16 ring positions share
+    # only 7 distinct column offsets, so do 6 lane rolls once (dx = +-1, +-2,
+    # +-3) and give each ring position a cheap sublane roll of the shared
+    # copy. The corner test + score then use the max-sustaining-threshold
+    # response (ops/orb.fast_response): circular sliding-window minima by
+    # ring-index doubling, where every "roll" over the ring axis is Python
+    # list reindexing of the 16 planes — ~3x fewer VPU ops than the previous
+    # per-threshold run-length counters, and th_hi/th_lo become two compares
+    # against the same V plane. Everything stays f32: Mosaic on this target
+    # supports neither rotates nor comparisons on 16-bit data (both tried).
+    from orbslam2commentedbyxcm_tpu.ops.orb import fast_response
+
     lane = {
         dx: (pltpu.roll(x, (-dx) % x.shape[1], axis=1) if dx else x)
         for dx in (-3, -2, -1, 0, 1, 2, 3)
@@ -83,45 +87,10 @@ def _kernel(
             v = pltpu.roll(v, (-dy) % v.shape[0], axis=0)
         return v
 
-    # Only the first ARC_LEN-1 diffs are saved for wrap reuse: keeping all 16
-    # live alongside the 7 lane copies overflowed the VMEM stack (20.4M > 16M).
-    saved = {}
-    zi = jnp.zeros(x.shape, jnp.int32)
-    zf = jnp.zeros_like(x)
-    run = [zi, zi, zi, zi]     # bright_hi, dark_hi, bright_lo, dark_lo
-    best = [zi, zi, zi, zi]
-    sums = [zf, zf, zf, zf]    # sb_hi, sd_hi, sb_lo, sd_lo
-    for k in range(16 + ARC_LEN - 1):
-        if k < 16:
-            dx, dy = _RING[k]
-            up = ring_shift(int(dx), int(dy)) - x
-            if k < ARC_LEN - 1:
-                saved[k] = up
-        else:
-            up = saved[k - 16]  # wrapped positions reuse the computed diffs
-        flags = [
-            (up > th_hi).astype(jnp.int32),
-            (-up > th_hi).astype(jnp.int32),
-            (up > th_lo).astype(jnp.int32),
-            (-up > th_lo).astype(jnp.int32),
-        ]
-        for j in range(4):
-            run[j] = (run[j] + flags[j]) * flags[j]
-            best[j] = jnp.maximum(best[j], run[j])
-        if k < 16:  # scores sum each ring pixel exactly once
-            sums[0] = sums[0] + jnp.maximum(up - th_hi, 0.0)
-            sums[1] = sums[1] + jnp.maximum(-up - th_hi, 0.0)
-            sums[2] = sums[2] + jnp.maximum(up - th_lo, 0.0)
-            sums[3] = sums[3] + jnp.maximum(-up - th_lo, 0.0)
-
-    def score_of(jb, jd):
-        return jnp.maximum(
-            jnp.where(best[jb] >= ARC_LEN, sums[jb], 0.0),
-            jnp.where(best[jd] >= ARC_LEN, sums[jd], 0.0),
-        )
-
-    s_hi = score_of(0, 1)
-    s_lo = score_of(2, 3)
+    ups = [ring_shift(int(dx), int(dy)) - x for dx, dy in _RING]
+    v = fast_response(ups)
+    s_hi = jnp.where(v > th_hi, v, 0.0)
+    s_lo = jnp.where(v > th_lo, v, 0.0)
     corner_hi = s_hi > 0.0
     corner_lo = s_lo > 0.0
 
