@@ -75,28 +75,73 @@ def epipolar_match(
 
 @jax.jit
 def triangulate_and_check(
-    t1, t2, uv1n, uv2n, uv1, uv2, ur1, ur2, mask,
+    t1, t2, uv1n, uv2n, uv1, uv2, ur1, ur2, depth1, depth2, mask,
     sigma2_1, sigma2_2, scale1, scale2,
-    fx, fy, cx, cy, bf,
+    fx, fy, cx, cy, bf, baseline,
 ):
     """Batched DLT triangulation + acceptance gates (CreateNewMapPoints,
     src/LocalMapping.cc:373-503): parallax, cheirality, reprojection chi2
-    (5.991 mono / 7.8 stereo), scale-distance consistency."""
+    (5.991 mono / 7.8 stereo), scale-distance consistency.
+
+    Source selection mirrors the reference (:415-460): triangulate only when
+    the motion parallax beats the stereo parallax cos(2*atan2(b/2, z)) of
+    both views (mono pairs additionally need cos < 0.9998); otherwise
+    unproject from whichever view has the better (closer) depth — a
+    low-parallax triangulation stretches points along the ray, while the
+    sensor depth is exact."""
     p1 = t1[:3]  # (3, 4) world->cam1, normalized coords (K=I)
     p2 = t2[:3]
-    pts = twoview.triangulate(p1, p2, uv1n, uv2n)  # world frame
+    pts_tri = twoview.triangulate(p1, p2, uv1n, uv2n)  # world frame
 
     r1, o1 = t1[:3, :3], -t1[:3, :3].T @ t1[:3, 3]
     r2, o2 = t2[:3, :3], -t2[:3, :3].T @ t2[:3, 3]
+
+    ray1 = pts_tri - o1
+    ray2 = pts_tri - o2
+    cos_par = jnp.sum(ray1 * ray2, axis=-1) / jnp.maximum(
+        jnp.linalg.norm(ray1, axis=-1) * jnp.linalg.norm(ray2, axis=-1), 1e-12
+    )
+
+    stereo1 = depth1 > 0
+    stereo2 = depth2 > 0
+    cos_st1 = jnp.where(
+        stereo1, jnp.cos(2.0 * jnp.arctan2(baseline / 2.0, depth1)), 1.1
+    )
+    cos_st2 = jnp.where(
+        stereo2, jnp.cos(2.0 * jnp.arctan2(baseline / 2.0, depth2)), 1.1
+    )
+    cos_st = jnp.minimum(cos_st1, cos_st2)
+
+    use_tri = (
+        (cos_par > 0.0)
+        & (cos_par < cos_st)
+        & (stereo1 | stereo2 | (cos_par < 0.9998))
+    )
+    use_d1 = ~use_tri & stereo1 & (cos_st1 < cos_st2)
+    use_d2 = ~use_tri & ~use_d1 & stereo2
+
+    def backproject(uv, depth, r, t3):
+        pc = jnp.stack(
+            [(uv[:, 0] - cx) / fx * depth, (uv[:, 1] - cy) / fy * depth, depth],
+            axis=-1,
+        )
+        return (pc - t3) @ r  # R^T (pc - t) per row
+
+    pts = jnp.where(
+        use_tri[:, None],
+        pts_tri,
+        jnp.where(
+            use_d1[:, None],
+            backproject(uv1, depth1, r1, t1[:3, 3]),
+            backproject(uv2, depth2, r2, t2[:3, 3]),
+        ),
+    )
+
     pc1 = pts @ r1.T + t1[:3, 3]
     pc2 = pts @ r2.T + t2[:3, 3]
     z1, z2 = pc1[:, 2], pc2[:, 2]
-
-    ray1 = pts - o1
-    ray2 = pts - o2
-    n1 = jnp.linalg.norm(ray1, axis=-1)
-    n2 = jnp.linalg.norm(ray2, axis=-1)
-    cos_par = jnp.sum(ray1 * ray2, axis=-1) / jnp.maximum(n1 * n2, 1e-12)
+    n1 = jnp.linalg.norm(pts - o1, axis=-1)
+    n2 = jnp.linalg.norm(pts - o2, axis=-1)
 
     def reproj_chi2(pc, uv, ur, sigma2):
         zs = jnp.maximum(pc[:, 2], 1e-6)
@@ -122,8 +167,7 @@ def triangulate_and_check(
 
     good = (
         mask
-        & (cos_par > 0.0)
-        & (cos_par < 0.9998)
+        & (use_tri | use_d1 | use_d2)
         & (z1 > 0)
         & (z2 > 0)
         & ok1
@@ -266,12 +310,13 @@ class LocalMapping:
                 jnp.asarray(norm(uv1)), jnp.asarray(norm(uv2)),
                 jnp.asarray(uv1), jnp.asarray(uv2),
                 jnp.asarray(kf.u_right), jnp.asarray(nb.u_right[best]),
+                jnp.asarray(kf.depth), jnp.asarray(nb.depth[best]),
                 jnp.asarray(ok),
                 jnp.asarray(sigma2[kf.level].astype(np.float32)),
                 jnp.asarray(sigma2[nb.level[best]].astype(np.float32)),
                 jnp.asarray((kf.scale_factor ** kf.level).astype(np.float32)),
                 jnp.asarray((nb.scale_factor ** nb.level[best]).astype(np.float32)),
-                cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+                cam.fx, cam.fy, cam.cx, cam.cy, cam.bf, cam.b,
             )
             pts, good = np.asarray(pts), np.asarray(good)
             for i in np.nonzero(good)[0]:
