@@ -178,6 +178,47 @@ def triangulate_and_check(
     return pts, good
 
 
+# Batched-over-neighbors variants: LocalMapping stacks the (<= 10) covisible
+# neighbors of the new keyframe and runs ONE device program per stage instead
+# of 2 dispatches per neighbor — per-dispatch latency (RPC on hosted devices,
+# ~50-100 us even direct-attached) otherwise dominates the mapping stage. The
+# keyframe-side arguments are broadcast (in_axes=None), the neighbor side is
+# batched.
+epipolar_match_neighbors = jax.jit(
+    jax.vmap(
+        epipolar_match,
+        in_axes=(None, None, None, None, 0, 0, 0, 0, 0, 0, 0, None),
+    )
+)
+
+triangulate_and_check_neighbors = jax.jit(
+    jax.vmap(
+        triangulate_and_check,
+        in_axes=(
+            None, 0, None, 0, None, 0, None, 0, None, 0, 0,
+            None, 0, None, 0, None, None, None, None, None, None,
+        ),
+    )
+)
+
+# vmap-over-targets SearchInNeighbors forward pass, cached per pyramid depth
+# (n_levels is a static arg of the inner jitted program)
+_pam_targets_cache: dict = {}
+
+
+def _get_pam_targets(n_levels: int):
+    fn = _pam_targets_cache.get(n_levels)
+    if fn is None:
+        from orbslam2commentedbyxcm_tpu.models.tracking import project_and_match
+
+        def call(*args):
+            return project_and_match(*args, n_levels)
+
+        fn = jax.jit(jax.vmap(call, in_axes=(None,) * 6 + (0,) * 5 + (None,) * 9))
+        _pam_targets_cache[n_levels] = fn
+    return fn
+
+
 class LocalMapping:
     def __init__(self, world_map: Map, camera: Camera, loop_closer=None,
                  n_triangulation_neighbors: int = 10):
@@ -254,6 +295,9 @@ class LocalMapping:
         sigma2 = level_sigma2(kf.n_levels, kf.scale_factor)
         kinv = np.linalg.inv(k_mat)
 
+        # host-side neighbor gating + per-neighbor epipolar geometry; the
+        # device work below runs ONCE over the stacked neighbor batch
+        nbs, f12s, epipoles = [], [], []
         for nb_id in neighbors:
             nb = self.map.keyframes.get(nb_id)
             if nb is None or nb.bad:
@@ -263,18 +307,14 @@ class LocalMapping:
             if med_depth <= 0 or baseline / med_depth < 0.01:
                 continue
 
-            # fundamental matrix KF -> neighbor (ComputeF12, :606-626)
-            t12 = kf.t_cw @ np.linalg.inv(nb.t_cw)
-            r12, tt12 = t12[:3, :3], t12[:3, 3]
-            # F mapping x_kf -> line in nb: we need F s.t. x_nb^T F x_kf = 0
-            # E_21 = [t_21]x R_21 with 2=nb, 1=kf: T21 = nb.Tcw @ inv(kf.Tcw)
+            # fundamental matrix KF -> neighbor (ComputeF12, :606-626):
+            # E_21 = [t_21]x R_21 with 2=nb, 1=kf, x_nb^T F x_kf = 0
             t21 = nb.t_cw @ np.linalg.inv(kf.t_cw)
             r21, tt21 = t21[:3, :3], t21[:3, 3]
             tx = np.array(
                 [[0, -tt21[2], tt21[1]], [tt21[2], 0, -tt21[0]], [-tt21[1], tt21[0], 0]]
             )
-            f12 = kinv.T @ tx @ r21 @ kinv  # x_nb^T F x_kf = 0 form: F maps kf->line in nb
-            del r12, tt12
+            f12 = kinv.T @ tx @ r21 @ kinv
 
             # epipole of kf's camera center in nb image
             c_in_nb = nb.t_cw[:3, :3] @ kf.center + nb.t_cw[:3, 3]
@@ -282,50 +322,93 @@ class LocalMapping:
                 epipole = np.array([1e6, 1e6], np.float32)
             else:
                 epipole = (k_mat @ (c_in_nb / c_in_nb[2]))[:2].astype(np.float32)
+            nbs.append(nb)
+            f12s.append(f12.astype(np.float32))
+            epipoles.append(epipole)
 
-            free_kf = (kf.map_pt < 0) & kf.valid
-            free_nb = (nb.map_pt < 0) & nb.valid
-            best, bd, ok = epipolar_match(
-                jnp.asarray(kf.desc), jnp.asarray(kf.uv_und), jnp.asarray(kf.level),
-                jnp.asarray(free_kf),
-                jnp.asarray(nb.desc), jnp.asarray(nb.uv_und), jnp.asarray(nb.level),
-                jnp.asarray(free_nb),
-                jnp.asarray(f12.astype(np.float32)),
-                jnp.asarray(sigma2[nb.level].astype(np.float32)),
-                jnp.asarray(epipole), float(matching.TH_LOW),
-            )
-            best, ok = np.asarray(best), np.asarray(ok)
-            if ok.sum() == 0:
-                continue
+        if not nbs:
+            self.map.update_connections(kf)
+            return
 
-            # normalized coords for triangulation
-            def norm(uv):
-                x = np.concatenate([uv, np.ones((len(uv), 1), np.float32)], 1) @ kinv.T
-                return (x[:, :2] / x[:, 2:3]).astype(np.float32)
+        # pad the neighbor batch to the fixed capacity so the two device
+        # programs compile once; padding slots have free2 = all-False
+        b_cap = self.n_tri_neighbors
+        nb0 = nbs[0]
+        n_feat = len(nb0.desc)
 
-            uv1 = kf.uv_und
-            uv2 = nb.uv_und[best]
-            pts, good = triangulate_and_check(
-                jnp.asarray(kf.t_cw), jnp.asarray(nb.t_cw),
-                jnp.asarray(norm(uv1)), jnp.asarray(norm(uv2)),
-                jnp.asarray(uv1), jnp.asarray(uv2),
-                jnp.asarray(kf.u_right), jnp.asarray(nb.u_right[best]),
-                jnp.asarray(kf.depth), jnp.asarray(nb.depth[best]),
-                jnp.asarray(ok),
-                jnp.asarray(sigma2[kf.level].astype(np.float32)),
-                jnp.asarray(sigma2[nb.level[best]].astype(np.float32)),
-                jnp.asarray((kf.scale_factor ** kf.level).astype(np.float32)),
-                jnp.asarray((nb.scale_factor ** nb.level[best]).astype(np.float32)),
-                cam.fx, cam.fy, cam.cx, cam.cy, cam.bf, cam.b,
-            )
-            pts, good = np.asarray(pts), np.asarray(good)
-            for i in np.nonzero(good)[0]:
-                if kf.map_pt[i] >= 0 or nb.map_pt[best[i]] >= 0:
+        def stack(get, pad_value, dtype):
+            arrs = [get(nb) for nb in nbs]
+            pad = np.full_like(np.asarray(arrs[0]), pad_value)
+            return np.stack(arrs + [pad] * (b_cap - len(nbs))).astype(dtype)
+
+        desc2 = stack(lambda nb: nb.desc, 0, np.uint32)
+        uv2_all = stack(lambda nb: nb.uv_und, 0, np.float32)
+        level2 = stack(lambda nb: nb.level, 0, np.int32)
+        free2 = stack(lambda nb: (nb.map_pt < 0) & nb.valid, False, bool)
+        f12_b = np.stack(f12s + [np.eye(3, dtype=np.float32)] * (b_cap - len(nbs)))
+        sig2_b = stack(lambda nb: sigma2[nb.level], 1.0, np.float32)
+        epi_b = np.stack(epipoles + [np.zeros(2, np.float32)] * (b_cap - len(nbs)))
+
+        free_kf = (kf.map_pt < 0) & kf.valid
+        best, bd, ok = epipolar_match_neighbors(
+            jnp.asarray(kf.desc), jnp.asarray(kf.uv_und), jnp.asarray(kf.level),
+            jnp.asarray(free_kf),
+            jnp.asarray(desc2), jnp.asarray(uv2_all), jnp.asarray(level2),
+            jnp.asarray(free2),
+            jnp.asarray(f12_b), jnp.asarray(sig2_b), jnp.asarray(epi_b),
+            float(matching.TH_LOW),
+        )
+        best, ok = np.asarray(best), np.asarray(ok)  # (B, N)
+        if ok.sum() == 0:
+            self.map.update_connections(kf)
+            return
+
+        def norm(uv):
+            flat = uv.reshape(-1, 2)
+            x = np.concatenate([flat, np.ones((len(flat), 1), np.float32)], 1) @ kinv.T
+            return (x[:, :2] / x[:, 2:3]).astype(np.float32).reshape(uv.shape)
+
+        nb_idx = np.arange(b_cap)
+        uv1 = kf.uv_und
+        uv2 = np.stack([uv2_all[b][best[b]] for b in nb_idx])
+        t2_b = stack(lambda nb: nb.t_cw, 0, np.float32)
+        ur2 = np.stack(
+            [(nbs[b].u_right[best[b]] if b < len(nbs) else np.full(n_feat, -1.0))
+             for b in nb_idx]
+        ).astype(np.float32)
+        d2 = np.stack(
+            [(nbs[b].depth[best[b]] if b < len(nbs) else np.full(n_feat, -1.0))
+             for b in nb_idx]
+        ).astype(np.float32)
+        sig2_g = np.stack([sig2_b[b][best[b]] for b in nb_idx]).astype(np.float32)
+        scale2 = np.stack(
+            [(nbs[b].scale_factor ** nbs[b].level[best[b]]
+              if b < len(nbs) else np.ones(n_feat))
+             for b in nb_idx]
+        ).astype(np.float32)
+
+        pts, good = triangulate_and_check_neighbors(
+            jnp.asarray(kf.t_cw), jnp.asarray(t2_b),
+            jnp.asarray(norm(uv1)), jnp.asarray(norm(uv2)),
+            jnp.asarray(uv1), jnp.asarray(uv2),
+            jnp.asarray(kf.u_right), jnp.asarray(ur2),
+            jnp.asarray(kf.depth), jnp.asarray(d2),
+            jnp.asarray(ok),
+            jnp.asarray(sigma2[kf.level].astype(np.float32)),
+            jnp.asarray(sig2_g),
+            jnp.asarray((kf.scale_factor ** kf.level).astype(np.float32)),
+            jnp.asarray(scale2),
+            cam.fx, cam.fy, cam.cx, cam.cy, cam.bf, cam.b,
+        )
+        pts, good = np.asarray(pts), np.asarray(good)  # (B, N, 3), (B, N)
+        for b, nb in enumerate(nbs):
+            for i in np.nonzero(good[b])[0]:
+                if kf.map_pt[i] >= 0 or nb.map_pt[best[b, i]] >= 0:
                     continue  # raced within this batch
-                pid = self.map.add_point(pts[i], kf.desc[i], kf.kf_id)
+                pid = self.map.add_point(pts[b, i], kf.desc[i], kf.kf_id)
                 self.map.pt_first_kf[pid] = kf.kf_id
                 self.map.add_observation(pid, kf.kf_id, int(i))
-                self.map.add_observation(pid, nb_id, int(best[i]))
+                self.map.add_observation(pid, nb.kf_id, int(best[b, i]))
                 self.map.update_point_descriptor(pid)
                 self.map.update_point_normal_depth(pid)
                 self.recent_points.append((pid, kf.kf_id))
@@ -342,11 +425,57 @@ class LocalMapping:
 
     # -- fusion ------------------------------------------------------------
 
+    def _pack_points(self, pids: np.ndarray, cap: int):
+        xyz = np.zeros((cap, 3), np.float32)
+        desc = np.zeros((cap, 8), np.uint32)
+        normal = np.zeros((cap, 3), np.float32)
+        dmin = np.zeros(cap, np.float32)
+        dmax = np.full(cap, 1e9, np.float32)
+        mask = np.zeros(cap, bool)
+        n = len(pids)
+        xyz[:n] = self.map.pt_xyz[pids]
+        desc[:n] = self.map.pt_desc[pids]
+        normal[:n] = self.map.pt_normal[pids]
+        dmin[:n] = self.map.pt_dmin[pids]
+        dmax[:n] = self.map.pt_dmax[pids]
+        mask[:n] = True
+        return xyz, desc, normal, dmin, dmax, mask
+
+    def _merge_matches(self, target: KeyFrame, pids: np.ndarray, best_pt, ok):
+        """Host-side duplicate merge for one target keyframe (the Fuse
+        resolution logic of src/ORBmatcher.cc:1067: existing observation ->
+        replace the point with fewer observations; free feature -> add the
+        observation)."""
+        n = len(pids)
+        for feat_idx in np.nonzero(ok)[0]:
+            slot = best_pt[feat_idx]
+            if slot >= n:
+                continue
+            pid = int(pids[slot])
+            if not self.map.pt_valid[pid]:
+                continue
+            existing = int(target.map_pt[feat_idx])
+            if existing >= 0 and self.map.pt_valid[existing]:
+                if existing != pid:
+                    # keep the point with more observations
+                    if self.map.n_observations(existing) >= self.map.n_observations(pid):
+                        self.map.replace_point(pid, existing)
+                    else:
+                        self.map.replace_point(existing, pid)
+            else:
+                if target.kf_id not in self.map.obs.get(pid, {}):
+                    self.map.add_observation(pid, target.kf_id, int(feat_idx))
+                    self.map.update_point_descriptor(pid)
+                    self.map.update_point_normal_depth(pid)
+
     def fuse_neighbors(self, kf: KeyFrame):
         """SearchInNeighbors (src/LocalMapping.cc:506-603): bidirectional
-        project-and-fuse with 1st/2nd-degree covisible neighbors."""
+        project-and-fuse with 1st/2nd-degree covisible neighbors. The forward
+        direction (kf's points into every target) runs as ONE vmapped device
+        program over the stacked targets instead of a dispatch per target."""
         from orbslam2commentedbyxcm_tpu.models.tracking import project_and_match
 
+        cam = self.camera
         first = kf.best_covisible(self.n_tri_neighbors)
         targets = set(first)
         for f in first:
@@ -354,28 +483,17 @@ class LocalMapping:
             if fkf is not None:
                 targets.update(fkf.best_covisible(5))
         targets.discard(kf.kf_id)
+        t_list = [
+            t for t_id in sorted(targets)
+            if (t := self.map.keyframes.get(t_id)) is not None and not t.bad
+        ]
 
         def fuse_into(target: KeyFrame, pids: np.ndarray):
             if len(pids) == 0:
                 return
-            cam = self.camera
-            cap = _bucket(len(pids), 1024)
-            xyz = np.zeros((cap, 3), np.float32)
-            desc = np.zeros((cap, 8), np.uint32)
-            normal = np.zeros((cap, 3), np.float32)
-            dmin = np.zeros(cap, np.float32)
-            dmax = np.full(cap, 1e9, np.float32)
-            mask = np.zeros(cap, bool)
-            n = len(pids)
-            xyz[:n] = self.map.pt_xyz[pids]
-            desc[:n] = self.map.pt_desc[pids]
-            normal[:n] = self.map.pt_normal[pids]
-            dmin[:n] = self.map.pt_dmin[pids]
-            dmax[:n] = self.map.pt_dmax[pids]
-            mask[:n] = True
+            packed = self._pack_points(pids, _bucket(len(pids), 1024))
             best_pt, best_d, ok, _ = project_and_match(
-                jnp.asarray(xyz), jnp.asarray(desc), jnp.asarray(normal),
-                jnp.asarray(dmin), jnp.asarray(dmax), jnp.asarray(mask),
+                *[jnp.asarray(a) for a in packed],
                 jnp.asarray(target.t_cw), jnp.asarray(target.uv_und),
                 jnp.asarray(target.desc), jnp.asarray(target.level),
                 jnp.asarray(target.valid),
@@ -383,34 +501,33 @@ class LocalMapping:
                 3.0, float(matching.TH_LOW), float(np.log(target.scale_factor)),
                 target.n_levels,
             )
-            best_pt, ok = np.asarray(best_pt), np.asarray(ok)
-            for feat_idx in np.nonzero(ok)[0]:
-                slot = best_pt[feat_idx]
-                if slot >= n:
-                    continue
-                pid = int(pids[slot])
-                if not self.map.pt_valid[pid]:
-                    continue
-                existing = int(target.map_pt[feat_idx])
-                if existing >= 0 and self.map.pt_valid[existing]:
-                    if existing != pid:
-                        # keep the point with more observations
-                        if self.map.n_observations(existing) >= self.map.n_observations(pid):
-                            self.map.replace_point(pid, existing)
-                        else:
-                            self.map.replace_point(existing, pid)
-                else:
-                    if target.kf_id not in self.map.obs.get(pid, {}):
-                        self.map.add_observation(pid, target.kf_id, int(feat_idx))
-                        self.map.update_point_descriptor(pid)
-                        self.map.update_point_normal_depth(pid)
+            self._merge_matches(target, pids, np.asarray(best_pt), np.asarray(ok))
 
         kf_pids = np.unique(kf.map_pt[kf.map_pt >= 0])
         kf_pids = kf_pids[self.map.pt_valid[kf_pids]]
-        for t_id in targets:
-            target = self.map.keyframes.get(t_id)
-            if target is not None and not target.bad:
-                fuse_into(target, kf_pids)
+        if t_list and len(kf_pids):
+            pam_targets = _get_pam_targets(t_list[0].n_levels)
+            t_cap = _bucket(len(t_list), 4)
+            pad = t_cap - len(t_list)
+            t0 = t_list[0]
+            t_cw = np.stack([t.t_cw for t in t_list] + [np.eye(4, dtype=np.float32)] * pad)
+            uv = np.stack([t.uv_und for t in t_list] + [np.zeros_like(t0.uv_und)] * pad)
+            dsc = np.stack([t.desc for t in t_list] + [np.zeros_like(t0.desc)] * pad)
+            lvl = np.stack([t.level for t in t_list] + [np.zeros_like(t0.level)] * pad)
+            val = np.stack(
+                [t.valid for t in t_list] + [np.zeros_like(t0.valid)] * pad
+            )
+            packed = self._pack_points(kf_pids, _bucket(len(kf_pids), 1024))
+            best_pt, best_d, ok, _ = pam_targets(
+                *[jnp.asarray(a) for a in packed],
+                jnp.asarray(t_cw.astype(np.float32)), jnp.asarray(uv),
+                jnp.asarray(dsc), jnp.asarray(lvl), jnp.asarray(val),
+                cam.fx, cam.fy, cam.cx, cam.cy, float(cam.width), float(cam.height),
+                3.0, float(matching.TH_LOW), float(np.log(t0.scale_factor)),
+            )
+            best_pt, ok = np.asarray(best_pt), np.asarray(ok)
+            for b, target in enumerate(t_list):
+                self._merge_matches(target, kf_pids, best_pt[b], ok[b])
         # reverse direction: neighbors' points into kf
         nb_pids = self.map.points_seen_by(targets)
         fuse_into(kf, nb_pids)
