@@ -376,7 +376,7 @@ class TestScoringVariants:
 class TestBootstrapVocabulary:
     def test_loads_and_discriminates(self):
         voc = bow.bootstrap_vocabulary()
-        assert voc.n_words == 1000
+        assert voc.n_words > 5000  # packaged k=10 depth=4 vocabulary (~10k words)
 
         def vec(d):
             w, g, wt = bow.transform(voc, d, np.ones(len(d), bool))
