@@ -285,16 +285,20 @@ def bench_posegraph():
     ]
     # Perturb the initial guess away from the optimum (pose 0 stays fixed) so
     # the LM loop does real work instead of the g=0 early exit after 1 iter.
+    # The perturbation composes with the CARRY inside the scan body: the carry
+    # converges back to the optimum after solve 1, so perturbing only the
+    # initial carry would time 2..N converged-start solves (the exact early-
+    # exit regime this benchmark exists to avoid).
     from orbslam2commentedbyxcm_tpu.utils.geometry import sim3_exp
 
     tangents = np.zeros((k, 7), np.float32)
     tangents[1:] = rng.normal(0, 0.02, (k - 1, 7)).astype(np.float32)
-    perturb = np.asarray(jax.vmap(sim3_exp)(jnp.asarray(tangents)))
-    poses_j = jnp.asarray(np.einsum("kij,kjl->kil", perturb, poses))
+    perturb = jnp.asarray(np.asarray(jax.vmap(sim3_exp)(jnp.asarray(tangents))))
+    poses_j = jnp.asarray(poses)
 
     def make_body():
         def body(c, _):
-            out = optimize_pose_graph(c, *args, n_iters=20)
+            out = optimize_pose_graph(perturb @ c, *args, n_iters=20)
             return out.poses, None
 
         return body

@@ -13,7 +13,7 @@ Prints one JSON line per (path, n_devices):
   {"metric": "dist_ba_<path>_d<N>", "value": ms, "unit": "ms/solve",
    "efficiency_vs_1dev": eff}
 
-Usage: python benchmarks/scaling.py [--poses 64] [--points 16384] [--obs-per-point 4]
+Usage: python benchmarks/scaling.py [--poses 48] [--points 4096] [--obs-per-point 4]
 """
 
 import argparse

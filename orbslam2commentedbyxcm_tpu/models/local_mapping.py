@@ -118,7 +118,9 @@ def triangulate_and_check(
         & (stereo1 | stereo2 | (cos_par < 0.9998))
     )
     use_d1 = ~use_tri & stereo1 & (cos_st1 < cos_st2)
-    use_d2 = ~use_tri & ~use_d1 & stereo2
+    # reference :452-460 requires strictly better stereo parallax in view 2
+    # (else the pair is skipped entirely, including on exact ties)
+    use_d2 = ~use_tri & ~use_d1 & stereo2 & (cos_st2 < cos_st1)
 
     def backproject(uv, depth, r, t3):
         pc = jnp.stack(

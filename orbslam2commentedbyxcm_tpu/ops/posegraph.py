@@ -133,8 +133,12 @@ def optimize_pose_graph(
             return h + hc + hc.transpose(2, 3, 0, 1)
 
         def acc_g(g, oh_a, ja, r_w):
-            return g + oh_a @ jnp.einsum(
-                "eri,er->ei", ja, r_w, precision="highest"
+            # the gradient sets the step direction and the convergence test —
+            # keep BOTH contractions at full precision (only H is bf16)
+            return g + jnp.matmul(
+                oh_a,
+                jnp.einsum("eri,er->ei", ja, r_w, precision="highest"),
+                precision="highest",
             )
 
         key_i, key_j = oh_i, oh_j

@@ -181,12 +181,15 @@ def distributed_bundle_adjustment(
             ).reshape(p_pts, 3, 3)
             g_c = jnp.einsum("ke,ex->kx", oh_k, e_gc, precision="highest")
             g_p = jnp.einsum("pe,ex->px", oh_p, e_gp, precision="highest")
-            # per 6x3-block component: (K,E)x(E,P) matmul — no (K,E,6,3)
+            # per 6x3-block component: (K,E)x(E,P) matmul, batched over the
+            # 18 components as ONE MXU contraction (a lax.scan here would
+            # serialize 18 launches per LM iteration) — no (K,E,6,3)
             # intermediate (see ops/optim.bundle_adjustment)
             w_blk = jnp.einsum("eij,eik->ejk", jw_pose, j_point, precision="highest")
-            _, w_parts = jax.lax.scan(
-                lambda _, wc: (None, (oh_k * wc) @ oh_p.T),
-                None, w_blk.reshape(-1, 18).T,
+            w_parts = jnp.einsum(
+                "cke,pe->ckp",
+                oh_k[None] * w_blk.reshape(-1, 18).T[:, None, :],
+                oh_p,
             )
             w_cp = w_parts.reshape(6, 3, k_poses, p_pts).transpose(2, 3, 0, 1)
             hpp_d = hpp + lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(hpp)) + 1e-6 * jnp.eye(3)
