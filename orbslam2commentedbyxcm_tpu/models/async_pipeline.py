@@ -38,6 +38,9 @@ class AsyncMapping:
         object.__setattr__(self, "inner", inner)
         object.__setattr__(self, "lock", map_lock)
         object.__setattr__(self, "_queue", queue.Queue())
+        # reference CheckNewKeyFrames gate (src/LocalMapping.cc:63-71): the
+        # wrapped stage defers fuse/BA/culling while newer KFs are queued
+        inner.pending_check = lambda: not self._queue.empty()
         t = threading.Thread(target=self._run, daemon=True, name="local-mapping")
         object.__setattr__(self, "_thread", t)
         t.start()
@@ -68,7 +71,10 @@ class AsyncMapping:
 
     def insert_keyframe(self, kf_id: int):
         """Enqueue; never blocks (the caller holds map_lock — the keyframe
-        policy's accepts_keyframes() gate bounds the queue instead)."""
+        policy's accepts_keyframes() gate bounds the queue instead). Signals
+        a running local BA to abort (reference LocalMapping::InsertKeyFrame
+        sets mbAbortBA, src/LocalMapping.cc:117)."""
+        self.inner.abort_ba = True
         self._queue.put(kf_id)
 
     def accepts_keyframes(self) -> bool:

@@ -1,0 +1,178 @@
+"""Transient global-bundle-adjustment worker.
+
+Re-creates the reference's GBA thread model (src/LoopClosing.cc):
+
+  * CorrectLoop spawns a transient std::thread running
+    RunGlobalBundleAdjustment (:634); a newer accepted loop KILLS a running
+    GBA via mbStopGBA + mnFullBAIdx (:460-473);
+  * GBA results are STAGED (mTcwGBA / mPosGBA) and only applied under the
+    map lock once the solve finishes, with the correction propagated through
+    the spanning tree to keyframes created while GBA ran (:709-815).
+
+TPU re-design: the solve is the batched Schur-complement LM of
+ops/optim.bundle_adjustment, dispatched in fixed-size iteration chunks so the
+stop flag is polled between device calls (g2o's per-iteration force-stop
+check, core/sparse_optimizer.cpp). The map snapshot is taken under the map
+lock; the device solve holds no lock; write-back re-acquires the lock with a
+timeout so an abort during a pending acquire can never deadlock against the
+thread that requested it.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import numpy as np
+
+from orbslam2commentedbyxcm_tpu.models.local_mapping import (
+    assemble_ba_problem,
+    solve_ba_problem,
+)
+
+
+class GlobalBA:
+    def __init__(self, world_map, camera, map_lock, n_iters: int = 10,
+                 chunk: int = 3):
+        self.map = world_map
+        self.camera = camera
+        self.lock = map_lock
+        self.n_iters = n_iters
+        self.chunk = chunk
+        self._thread: threading.Thread | None = None
+        self._stop = threading.Event()
+        # == reference mnFullBAIdx: stale results are discarded when a newer
+        # loop bumped the index while the solve ran
+        self.full_ba_idx = 0
+        self.n_completed = 0
+        self.n_aborted = 0
+
+    # -- control (callers hold the map lock) --------------------------------
+
+    def running(self) -> bool:
+        return self._thread is not None and self._thread.is_alive()
+
+    def abort(self):
+        """Kill a running GBA (reference CorrectLoop, :460-473). Safe to call
+        while holding the map lock: the worker's write-back acquire polls the
+        stop flag, so the join below is bounded by one solve chunk."""
+        if not self.running():
+            return
+        self._stop.set()
+        self.full_ba_idx += 1
+        self._thread.join()
+        self._thread = None
+        self.n_aborted += 1
+
+    def launch(self, loop_kf_id: int):
+        """Snapshot the map (caller holds the map lock) and start the solve
+        thread (reference :630-634)."""
+        self.abort()
+        m = self.map
+        kf_ids = [k.kf_id for k in m.good_keyframes()]
+        if len(kf_ids) < 3:
+            return
+        problem = assemble_ba_problem(m, kf_ids, fixed_ids={m.origin_kf_id})
+        if problem is None:
+            return
+        self._stop.clear()
+        idx = self.full_ba_idx
+        t = threading.Thread(
+            target=self._run, args=(problem, loop_kf_id, idx, m),
+            daemon=True, name="global-ba",
+        )
+        self._thread = t
+        t.start()
+
+    def wait(self):
+        """Block until a running GBA has finished and written back."""
+        t = self._thread
+        if t is not None and t is not threading.current_thread():
+            t.join()
+
+    # -- worker --------------------------------------------------------------
+
+    def _run(self, problem, loop_kf_id: int, idx: int, m):
+        # chunked 10-iteration plain (non-robust) GN/LM schedule — reference
+        # GlobalBundleAdjustemnt(map, 10, &mbStopGBA, nLoopKF, false)
+        chunks = []
+        left = self.n_iters
+        while left > 0:
+            chunks.append((min(self.chunk, left), False))
+            left -= self.chunk
+        res = solve_ba_problem(
+            problem, self.camera, tuple(chunks),
+            abort_check=self._stop.is_set, relabel_between=False,
+        )
+        if self._stop.is_set() or idx != self.full_ba_idx:
+            return
+
+        # -- write-back under the map lock (reference :732-809) -------------
+        while not self._stop.is_set():
+            if self.lock.acquire(timeout=0.01):
+                try:
+                    if idx == self.full_ba_idx and m is self.map:
+                        self._propagate(problem, res, m)
+                        self.n_completed += 1
+                finally:
+                    self.lock.release()
+                return
+
+    def _propagate(self, problem, res, m):
+        """Apply staged GBA results: solved keyframes get their optimized
+        pose; keyframes created during the solve inherit the correction via
+        the spanning tree (T_child_gba = T_child_cur T_parent_cur^-1
+        T_parent_gba); points likewise via their reference keyframe
+        (reference RunGlobalBundleAdjustment, :745-805)."""
+        out_poses = np.asarray(res.poses)
+        kf_slot = problem["kf_slot"]
+        t_gba: dict[int, np.ndarray] = {}
+        for kf_id, s in kf_slot.items():
+            if kf_id in m.keyframes:
+                t_gba[kf_id] = out_poses[s]
+
+        # spanning-tree BFS from the origin; solved poses seed the walk
+        t_before: dict[int, np.ndarray] = {}
+        frontier = [m.origin_kf_id]
+        visited = set()
+        children_of: dict[int, list[int]] = {}
+        for kf in m.keyframes.values():
+            if kf.parent is not None:
+                children_of.setdefault(kf.parent, []).append(kf.kf_id)
+        while frontier:
+            kf_id = frontier.pop()
+            if kf_id in visited or kf_id not in m.keyframes:
+                continue
+            visited.add(kf_id)
+            kf = m.keyframes[kf_id]
+            if kf_id not in t_gba:
+                pa = kf.parent
+                if pa is None or pa not in t_before:
+                    continue  # disconnected from the solved set: leave as-is
+                t_gba[kf_id] = (
+                    kf.t_cw @ np.linalg.inv(t_before[pa]) @ t_gba[pa]
+                ).astype(np.float32)
+            t_before[kf_id] = kf.t_cw.copy()
+            kf.set_pose(t_gba[kf_id])
+            frontier.extend(children_of.get(kf_id, ()))
+
+        # points: solved ones directly (if still alive), later ones via the
+        # before/after transform of their reference keyframe
+        solved = set(int(p) for p in problem["pids"])
+        out_points = np.asarray(res.points)
+        pid_of = {int(p): i for i, p in enumerate(problem["pids"])}
+        for pid in m.all_point_ids():
+            pid = int(pid)
+            if pid in solved:
+                m.pt_xyz[pid] = out_points[pid_of[pid]]
+                continue
+            ref_id = int(m.pt_ref_kf[pid])
+            if ref_id not in t_before:
+                continue
+            tb = t_before[ref_id]
+            kf = m.keyframes.get(ref_id)
+            if kf is None:
+                continue
+            xc = tb[:3, :3] @ m.pt_xyz[pid] + tb[:3, 3]
+            t_wc = np.linalg.inv(kf.t_cw)
+            m.pt_xyz[pid] = (t_wc[:3, :3] @ xc + t_wc[:3, 3]).astype(np.float32)
+        m.big_change_idx += 1

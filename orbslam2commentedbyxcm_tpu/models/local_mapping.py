@@ -233,6 +233,20 @@ class LocalMapping:
         self.paused = False
         self.tracer = None
         self._ba_jit_cache = {}
+        # == reference mbAbortBA (src/LocalMapping.cc:75): set by a new
+        # keyframe insertion; local BA checks it between LM rounds.
+        self.abort_ba = False
+        # set by AsyncMapping to expose "more keyframes queued" — the
+        # reference's CheckNewKeyFrames() gate (src/LocalMapping.cc:63-71):
+        # fuse / local BA / culling are deferred while the queue is non-empty.
+        self.pending_check = None
+
+    def interrupt_ba(self):
+        """== reference LocalMapping::InterruptBA (src/Tracking.cc:1168)."""
+        self.abort_ba = True
+
+    def _more_pending(self) -> bool:
+        return self.pending_check is not None and self.pending_check()
 
     # -- entry points ------------------------------------------------------
 
@@ -253,10 +267,16 @@ class LocalMapping:
             self._track_recent_points(kf)
             self.cull_map_points(kf)
             self.create_new_map_points(kf)
-            self.fuse_neighbors(kf)
-            with span("local_ba"):
-                self.local_bundle_adjustment(kf)
-            self.cull_keyframes(kf)
+            # reference Run loop (src/LocalMapping.cc:63-82): fuse, local BA
+            # and culling are deferred while newer keyframes are queued, so
+            # the worker catches up first; mbAbortBA resets before BA.
+            if not self._more_pending():
+                self.fuse_neighbors(kf)
+            self.abort_ba = False
+            if not self._more_pending():
+                with span("local_ba"):
+                    self.local_bundle_adjustment(kf)
+                self.cull_keyframes(kf)
         if self.loop_closer is not None:
             with span("loop_closing"):
                 self.loop_closer.insert_keyframe(kf_id)
@@ -535,108 +555,6 @@ class LocalMapping:
         fuse_into(kf, nb_pids)
         self.map.update_connections(kf)
 
-    # -- local BA ----------------------------------------------------------
-
-    def local_bundle_adjustment(self, kf: KeyFrame):
-        local_ids = [kf.kf_id] + kf.best_covisible()
-        self._run_ba(local_ids, fixed_ids=None)
-
-    def _run_ba(self, local_ids, fixed_ids=None, n_iters=((5, True), (10, True))):
-        """Assemble a (bucketed) BA problem over local_ids + their points, with
-        the second ring fixed (reference LocalBundleAdjustment)."""
-        m = self.map
-        cam = self.camera
-        local_set = [i for i in dict.fromkeys(local_ids) if i in m.keyframes and not m.keyframes[i].bad]
-        pids = m.points_seen_by(local_set)
-        if len(pids) < 8 or len(local_set) == 0:
-            return
-
-        # second ring = observers of local points not in local set
-        in_local = set(local_set)
-        ring2 = set()
-        for pid in pids:
-            for kf_id in m.obs.get(int(pid), {}):
-                if kf_id not in in_local:
-                    ring2.add(kf_id)
-        all_ids = local_set + sorted(ring2)
-        if fixed_ids is None:
-            fixed = {i for i in ring2}
-            fixed.add(m.origin_kf_id)
-        else:
-            fixed = set(fixed_ids) | ring2
-        # gauge safety: at least one fixed pose
-        if not any(i in fixed for i in all_ids):
-            fixed.add(all_ids[0])
-
-        kf_slot = {kf_id: s for s, kf_id in enumerate(all_ids)}
-        pid_slot = {int(p): s for s, p in enumerate(pids)}
-
-        k_cap = _bucket(len(all_ids), 8)
-        p_cap = _bucket(len(pids), 256)
-
-        poses = np.tile(np.eye(4, dtype=np.float32), (k_cap, 1, 1))
-        pose_fixed = np.ones(k_cap, bool)
-        for kf_id, s in kf_slot.items():
-            poses[s] = m.keyframes[kf_id].t_cw
-            pose_fixed[s] = kf_id in fixed
-
-        points = np.zeros((p_cap, 3), np.float32)
-        point_valid = np.zeros(p_cap, bool)
-        points[: len(pids)] = m.pt_xyz[pids]
-        point_valid[: len(pids)] = True
-
-        obs_pose, obs_point, obs_uvr, obs_sig, obs_feat = [], [], [], [], []
-        for pid in pids:
-            for kf_id, feat_idx in m.obs.get(int(pid), {}).items():
-                if kf_id not in kf_slot:
-                    continue
-                okf = m.keyframes[kf_id]
-                obs_pose.append(kf_slot[kf_id])
-                obs_point.append(pid_slot[int(pid)])
-                obs_uvr.append(
-                    (okf.uv_und[feat_idx][0], okf.uv_und[feat_idx][1], okf.u_right[feat_idx])
-                )
-                obs_sig.append(okf.inv_sigma2()[feat_idx])
-                obs_feat.append((kf_id, int(pid), feat_idx))
-        if len(obs_pose) < 8:
-            return
-        e_cap = _bucket(len(obs_pose), 1024)
-        op = np.zeros(e_cap, np.int32)
-        opt_ = np.zeros(e_cap, np.int32)
-        ouv = np.zeros((e_cap, 3), np.float32)
-        ouv[:, 2] = -1.0
-        osig = np.ones(e_cap, np.float32)
-        omask = np.zeros(e_cap, bool)
-        ne = len(obs_pose)
-        op[:ne] = obs_pose
-        opt_[:ne] = obs_point
-        ouv[:ne] = obs_uvr
-        osig[:ne] = obs_sig
-        omask[:ne] = True
-
-        res = optim.bundle_adjustment(
-            jnp.asarray(poses), jnp.asarray(pose_fixed), jnp.asarray(points),
-            jnp.asarray(point_valid), jnp.asarray(op), jnp.asarray(opt_),
-            jnp.asarray(ouv), jnp.asarray(omask), jnp.asarray(osig),
-            cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
-            schedule=n_iters,
-        )
-        out_poses = np.asarray(res.poses)
-        out_points = np.asarray(res.points)
-        inl = np.asarray(res.obs_inliers)
-
-        for kf_id, s in kf_slot.items():
-            if not pose_fixed[s]:
-                m.keyframes[kf_id].set_pose(out_poses[s])
-        m.pt_xyz[pids] = out_points[: len(pids)]
-        # erase outlier observations (reference :816-855)
-        for e in np.nonzero(~inl[:ne])[0]:
-            kf_id, pid, feat_idx = obs_feat[e]
-            m.erase_observation(pid, kf_id)
-        for pid in pids:
-            if m.pt_valid[pid]:
-                m.update_point_normal_depth(int(pid))
-
     # -- keyframe culling --------------------------------------------------
 
     def cull_keyframes(self, kf: KeyFrame):
@@ -672,3 +590,171 @@ class LocalMapping:
                     n_redundant += 1
             if n_total > 0 and n_redundant > 0.9 * n_total:
                 m.erase_keyframe(kf_id)
+
+    # -- local BA ----------------------------------------------------------
+
+    def local_bundle_adjustment(self, kf: KeyFrame):
+        local_ids = [kf.kf_id] + kf.best_covisible()
+        self._run_ba(local_ids, fixed_ids=None, interruptible=True)
+
+    def _run_ba(self, local_ids, fixed_ids=None, n_iters=((5, True), (10, True)),
+                interruptible=False):
+        """Assemble a (bucketed) BA problem over local_ids + their points, with
+        the second ring fixed (reference LocalBundleAdjustment).
+
+        With `interruptible`, the LM rounds run as separate device calls and
+        `self.abort_ba` is checked between them — the reference's pbStopFlag
+        check between the 5- and 10-iteration optimizes
+        (src/Optimizer.cc:720-737); write-back and outlier erasure still run
+        on the partial result, like the reference's recovery section."""
+        m = self.map
+        cam = self.camera
+        local_set = [i for i in dict.fromkeys(local_ids) if i in m.keyframes and not m.keyframes[i].bad]
+        problem = assemble_ba_problem(m, local_set, fixed_ids=fixed_ids)
+        if problem is None:
+            return
+        res = solve_ba_problem(
+            problem, cam, n_iters,
+            abort_check=(lambda: self.abort_ba) if interruptible else None,
+        )
+        write_back_ba(m, problem, res)
+
+
+def assemble_ba_problem(m: Map, local_set, fixed_ids=None):
+    """Build the padded BA arrays for `local_set` keyframes + their points,
+    with second-ring observers included as fixed poses (reference
+    LocalBundleAdjustment vertex setup, src/Optimizer.cc:556-650). Returns
+    None when the problem is too small. Shared by local BA and global BA
+    (for global BA pass local_set = all good keyframes: the second ring is
+    then empty)."""
+    pids = m.points_seen_by(local_set)
+    if len(pids) < 8 or len(local_set) == 0:
+        return None
+
+    # second ring = observers of local points not in local set
+    in_local = set(local_set)
+    ring2 = set()
+    for pid in pids:
+        for kf_id in m.obs.get(int(pid), {}):
+            if kf_id not in in_local:
+                ring2.add(kf_id)
+    all_ids = list(local_set) + sorted(ring2)
+    if fixed_ids is None:
+        fixed = {i for i in ring2}
+        fixed.add(m.origin_kf_id)
+    else:
+        fixed = set(fixed_ids) | ring2
+    # gauge safety: at least one fixed pose
+    if not any(i in fixed for i in all_ids):
+        fixed.add(all_ids[0])
+
+    kf_slot = {kf_id: s for s, kf_id in enumerate(all_ids)}
+    pid_slot = {int(p): s for s, p in enumerate(pids)}
+
+    k_cap = _bucket(len(all_ids), 8)
+    p_cap = _bucket(len(pids), 256)
+
+    poses = np.tile(np.eye(4, dtype=np.float32), (k_cap, 1, 1))
+    pose_fixed = np.ones(k_cap, bool)
+    for kf_id, s in kf_slot.items():
+        poses[s] = m.keyframes[kf_id].t_cw
+        pose_fixed[s] = kf_id in fixed
+
+    points = np.zeros((p_cap, 3), np.float32)
+    point_valid = np.zeros(p_cap, bool)
+    points[: len(pids)] = m.pt_xyz[pids]
+    point_valid[: len(pids)] = True
+
+    obs_pose, obs_point, obs_uvr, obs_sig, obs_feat = [], [], [], [], []
+    for pid in pids:
+        for kf_id, feat_idx in m.obs.get(int(pid), {}).items():
+            if kf_id not in kf_slot:
+                continue
+            okf = m.keyframes[kf_id]
+            obs_pose.append(kf_slot[kf_id])
+            obs_point.append(pid_slot[int(pid)])
+            obs_uvr.append(
+                (okf.uv_und[feat_idx][0], okf.uv_und[feat_idx][1], okf.u_right[feat_idx])
+            )
+            obs_sig.append(okf.inv_sigma2()[feat_idx])
+            obs_feat.append((kf_id, int(pid), feat_idx))
+    if len(obs_pose) < 8:
+        return None
+    e_cap = _bucket(len(obs_pose), 1024)
+    op = np.zeros(e_cap, np.int32)
+    opt_ = np.zeros(e_cap, np.int32)
+    ouv = np.zeros((e_cap, 3), np.float32)
+    ouv[:, 2] = -1.0
+    osig = np.ones(e_cap, np.float32)
+    omask = np.zeros(e_cap, bool)
+    ne = len(obs_pose)
+    op[:ne] = obs_pose
+    opt_[:ne] = obs_point
+    ouv[:ne] = obs_uvr
+    osig[:ne] = obs_sig
+    omask[:ne] = True
+    return {
+        "kf_slot": kf_slot, "pids": pids, "poses": poses,
+        "pose_fixed": pose_fixed, "points": points, "point_valid": point_valid,
+        "op": op, "opt": opt_, "ouv": ouv, "osig": osig, "omask": omask,
+        "obs_feat": obs_feat, "ne": ne,
+    }
+
+
+def solve_ba_problem(problem, cam: Camera, n_iters, abort_check=None,
+                     relabel_between=True):
+    """Run the (possibly phased) device BA solve over an assembled problem.
+
+    `abort_check` is polled between LM rounds; when it fires, the remaining
+    rounds are skipped and the partial result returned (reference g2o
+    force-stop via mbAbortBA)."""
+    args = tuple(
+        jnp.asarray(problem[k])
+        for k in ("poses", "pose_fixed", "points", "point_valid", "op", "opt")
+    )
+    ouv = jnp.asarray(problem["ouv"])
+    osig = jnp.asarray(problem["osig"])
+    intr = (cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
+    phases = tuple((int(a), bool(b)) for a, b in n_iters)
+    if abort_check is None or len(phases) <= 1:
+        return optim.bundle_adjustment(
+            *args[:6], ouv, jnp.asarray(problem["omask"]), osig, *intr,
+            schedule=phases, relabel_between=relabel_between,
+        )
+    poses_j, points_j = args[0], args[2]
+    obs_mask = jnp.asarray(problem["omask"])
+    res = None
+    for i, ph in enumerate(phases):
+        res = optim.bundle_adjustment(
+            poses_j, args[1], points_j, args[3], args[4], args[5],
+            ouv, obs_mask, osig, *intr,
+            schedule=(ph,), relabel_between=relabel_between,
+        )
+        poses_j, points_j = res.poses, res.points
+        if relabel_between:
+            obs_mask = res.obs_inliers
+        if i + 1 < len(phases) and abort_check():
+            break
+    return res
+
+
+def write_back_ba(m: Map, problem, res):
+    """Write optimized poses/points back into the map and erase outlier
+    observations (reference LocalBundleAdjustment recovery, :816-855)."""
+    out_poses = np.asarray(res.poses)
+    out_points = np.asarray(res.points)
+    inl = np.asarray(res.obs_inliers)
+    pids = problem["pids"]
+    pose_fixed = problem["pose_fixed"]
+    for kf_id, s in problem["kf_slot"].items():
+        if not pose_fixed[s]:
+            kf = m.keyframes.get(kf_id)
+            if kf is not None:
+                kf.set_pose(out_poses[s])
+    m.pt_xyz[pids] = out_points[: len(pids)]
+    for e in np.nonzero(~inl[: problem["ne"]])[0]:
+        kf_id, pid, feat_idx = problem["obs_feat"][e]
+        m.erase_observation(pid, kf_id)
+    for pid in pids:
+        if m.pt_valid[pid]:
+            m.update_point_normal_depth(int(pid))

@@ -29,7 +29,8 @@ from orbslam2commentedbyxcm_tpu.utils.bucketing import bucket, pad_mask, pad_row
 
 class LoopClosing:
     def __init__(self, world_map, camera, keyframe_db=None, vocabulary=None,
-                 fix_scale: bool = False, covisibility_consistency_th: int = 3):
+                 fix_scale: bool = False, covisibility_consistency_th: int = 3,
+                 map_lock=None):
         self.map = world_map
         self.camera = camera
         self.db = keyframe_db
@@ -43,6 +44,14 @@ class LoopClosing:
                       "sim3_ok": 0, "guided_fail": 0}
         self._key = jax.random.PRNGKey(13)
         self.run_global_ba = True
+        # transient abortable GBA worker (reference spawns a std::thread per
+        # accepted loop, src/LoopClosing.cc:634); needs the map lock for
+        # staged write-back — without one, GBA falls back to synchronous.
+        self.gba = None
+        if map_lock is not None:
+            from orbslam2commentedbyxcm_tpu.models.gba import GlobalBA
+
+            self.gba = GlobalBA(world_map, camera, map_lock)
 
     # -- entry -------------------------------------------------------------
 
@@ -248,6 +257,9 @@ class LoopClosing:
     def _correct_loop(self, kf: KeyFrame, loop_kf_id: int, s_cur_corr: np.ndarray, loop_pids):
         m = self.map
         cam = self.camera
+        # STEP 0: a newer loop kills any still-running GBA (reference :460-473)
+        if self.gba is not None:
+            self.gba.abort()
 
         # 1. corrected Sim3 for the current covisible group (reference :497-571)
         group = [kf.kf_id] + kf.best_covisible()
@@ -305,9 +317,13 @@ class LoopClosing:
         m.keyframes[loop_kf_id].loop_edges.add(kf.kf_id)
         m.keyframes[loop_kf_id].not_erase = True
 
-        # 5. full BA (reference spawns a GBA thread; synchronous here)
+        # 5. full BA on the transient worker (reference spawns a GBA thread,
+        # :634); synchronous fallback when no map lock is wired
         if self.run_global_ba:
-            self._global_ba()
+            if self.gba is not None:
+                self.gba.launch(kf.kf_id)
+            else:
+                self._global_ba()
         self.last_loop_kf_id = kf.kf_id
         self.n_loops_closed += 1
         m.big_change_idx += 1
@@ -392,7 +408,7 @@ class LoopClosing:
         ej[: len(edge_j)] = edge_j
         meas_b = np.tile(np.eye(4, dtype=np.float32), (eb, 1, 1))
         meas_b[: len(meas)] = np.stack(meas)
-        res = posegraph.optimize_pose_graph(
+        res = posegraph.solve_pose_graph(
             jnp.asarray(poses_b), jnp.asarray(fixed_b),
             jnp.asarray(ei), jnp.asarray(ej),
             jnp.asarray(meas_b), jnp.asarray(pad_mask(len(edge_i), eb)),

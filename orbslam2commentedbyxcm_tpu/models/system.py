@@ -134,6 +134,7 @@ class System:
             self.loop_closing = LoopClosing(
                 self.map, self.camera, keyframe_db=self.keyframe_db,
                 vocabulary=self.vocabulary, fix_scale=fix_scale,
+                map_lock=self.map_lock,
             )
             self.local_mapping.loop_closer = self.loop_closing
         else:
@@ -258,10 +259,13 @@ class System:
     # -- modes / control ---------------------------------------------------
 
     def _drain_mapping(self):
-        """Wait for queued async mapping work (no-op in the sync pipeline)."""
+        """Wait for queued async mapping work and any in-flight global BA
+        (no-op in the sync pipeline with no GBA running)."""
         wait = getattr(self.local_mapping, "wait_idle", None)
         if wait is not None:
             wait()
+        if self.loop_closing is not None and self.loop_closing.gba is not None:
+            self.loop_closing.gba.wait()
 
     def activate_localization_mode(self):
         self.tracking.localization_only = True
@@ -287,6 +291,8 @@ class System:
         self.tracking.velocity = None
 
     def reset(self):
+        if self.loop_closing is not None and self.loop_closing.gba is not None:
+            self.loop_closing.gba.abort()
         self._drain_mapping()
         # materialize the tracked-so-far trajectories into absolute poses
         # before the map (and its reference keyframes) is destroyed
@@ -307,6 +313,8 @@ class System:
             self.map.erase_hooks.append(self.keyframe_db.erase)
         if self.loop_closing is not None:
             self.loop_closing.map = self.map
+            if self.loop_closing.gba is not None:
+                self.loop_closing.gba.map = self.map
         if getattr(self.local_mapping, "relocalizer", None) is not None:
             self.local_mapping.relocalizer.map = self.map
 

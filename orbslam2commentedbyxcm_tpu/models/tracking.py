@@ -648,9 +648,6 @@ class Tracking:
         kf = self.map.keyframes.get(self.ref_kf_id)
         if kf is None:
             return False
-        accepts = getattr(self.local_mapper, "accepts_keyframes", None)
-        if accepts is not None and not accepts():
-            return False
         n_kfs = len(self.map.good_keyframes())
         min_obs = 3 if n_kfs > 2 else 2
         ref_matches = sum(
@@ -682,7 +679,18 @@ class Tracking:
         c1b = self.frames_since_kf >= cfg.min_frames_between_kf
         c1c = is_depth and (inl < ref_matches * 0.25 or need_close)
         c2 = (inl < ref_matches * ratio or need_close) and inl > 15
-        return c1a or ((c1b or c1c) and c2)
+        if not (c1a or ((c1b or c1c) and c2)):
+            return False
+        # keyframe wanted: if the mapper is busy, interrupt its local BA and
+        # defer (reference src/Tracking.cc:1160-1181 — InterruptBA when local
+        # mapping is not idle, insert only while the queue is short)
+        accepts = getattr(self.local_mapper, "accepts_keyframes", None)
+        if accepts is not None and not accepts():
+            interrupt = getattr(self.local_mapper, "interrupt_ba", None)
+            if interrupt is not None:
+                interrupt()
+            return False
+        return True
 
     def _create_new_keyframe(self, frame: Frame):
         kf = self.map.add_keyframe(frame)
