@@ -120,14 +120,24 @@ def optimize_pose_graph(
         oh_i = (edge_i[None, :] == jnp.arange(k)[:, None]).astype(jnp.float32)
         oh_j = (edge_j[None, :] == jnp.arange(k)[:, None]).astype(jnp.float32)
         oh_cat = jnp.concatenate([oh_i, oh_j], axis=1)  # (K, 2E)
+        # peak transient HBM of one batched contraction is chunk*K*2E*4 bytes
+        # (the masked one-hot lhs); chunk the 49 block components so it stays
+        # under ~128 MB on large K*E instead of materializing (49, K, 2E)
+        # at once (ADVICE r2: ~780 MB at the 2e6 K*E gate boundary).
+        comp_chunk = max(1, min(49, (128 << 20) // max(1, 4 * k * 2 * n_edges)))
+
+        def _chunked(oh_a, oh_b, bT, n_comp):
+            outs = []
+            for s in range(0, n_comp, comp_chunk):
+                lhs = oh_a[None] * bT[s : s + comp_chunk, None, :]
+                outs.append(jnp.einsum("cke,le->ckl", lhs, oh_b))
+            return jnp.concatenate(outs, axis=0)
 
         def assemble_h(b_ii, b_jj, b_ij):
             # sum_e oh_a[k,e] oh_b[l,e] bab[e,c] for the three block kinds
             b_cat = jnp.concatenate([b_ii, b_jj], axis=0)  # (2E, 7, 7)
-            lhs = oh_cat[None] * b_cat.reshape(2 * n_edges, 49).T[:, None, :]
-            h_diag = jnp.einsum("cke,le->ckl", lhs, oh_cat)
-            lhs2 = oh_i[None] * b_ij.reshape(n_edges, 49).T[:, None, :]
-            h_cross = jnp.einsum("cke,le->ckl", lhs2, oh_j)
+            h_diag = _chunked(oh_cat, oh_cat, b_cat.reshape(2 * n_edges, 49).T, 49)
+            h_cross = _chunked(oh_i, oh_j, b_ij.reshape(n_edges, 49).T, 49)
             h = h_diag.reshape(7, 7, k, k).transpose(2, 0, 3, 1)
             hc = h_cross.reshape(7, 7, k, k).transpose(2, 0, 3, 1)
             return h + hc + hc.transpose(2, 3, 0, 1)
@@ -236,6 +246,161 @@ def optimize_pose_graph(
     # the carried err is the exact cost at the carried point (only updated
     # from eval_point at accepted steps; err0 from eval_point at poses)
     return PoseGraphResult(poses=p, cost=err)
+
+
+# ---------------------------------------------------------------------------
+# Matrix-free (sparse) pose-graph solver for large essential graphs
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters", "cg_iters"))
+def optimize_pose_graph_cg(
+    poses: jnp.ndarray,      # (K, 4, 4) Sim3 [sR t; 0 1], world->cam
+    fixed: jnp.ndarray,      # (K,) bool
+    edge_i: jnp.ndarray,     # (E,) int32
+    edge_j: jnp.ndarray,     # (E,) int32
+    edge_meas: jnp.ndarray,  # (E, 4, 4) measured S_j * S_i^-1
+    edge_mask: jnp.ndarray,  # (E,) bool
+    edge_weight: jnp.ndarray | None = None,
+    n_iters: int = 20,
+    cg_iters: int = 100,
+    cg_tol: float = 1e-5,
+) -> PoseGraphResult:
+    """O(E)-memory essential-graph LM: the normal equations are never
+    materialized — each CG iteration applies H = J^T J edge-wise (two batched
+    (E, 7, 7) block products + index adds) with a block-Jacobi (per-vertex
+    7x7) preconditioner. This is the TPU replacement for g2o's sparse block
+    solver (Thirdparty/g2o/g2o/core/block_solver.hpp:51-90) at map sizes
+    where the dense (7K)^2 Hessian of `optimize_pose_graph` would be O(K^2)
+    memory / O(K^3) per iteration; same recipe as parallel/dist_ba.py's
+    matrix-free Schur CG."""
+    k = poses.shape[0]
+    free = (~fixed).astype(jnp.float32)
+    w_e = edge_mask.astype(jnp.float32)
+    if edge_weight is not None:
+        w_e = w_e * edge_weight
+
+    def eval_point(p):
+        """-> (cost, (J_i, J_j), g (K,7), block-diag (K,7,7))."""
+        r, (j_i, j_j) = _res_and_jac(p[edge_i], p[edge_j], edge_meas)
+        err = jnp.sum(jnp.sum(r * r, axis=-1) * w_e)
+        j_i = j_i * (free[edge_i] * w_e)[:, None, None]
+        j_j = j_j * (free[edge_j] * w_e)[:, None, None]
+        r_w = r * w_e[:, None]
+        g = jnp.zeros((k, 7), jnp.float32)
+        g = g.at[edge_i].add(jnp.einsum("eri,er->ei", j_i, r_w))
+        g = g.at[edge_j].add(jnp.einsum("eri,er->ei", j_j, r_w))
+        b_ii = jnp.einsum("eri,erj->eij", j_i, j_i)
+        b_jj = jnp.einsum("eri,erj->eij", j_j, j_j)
+        bdiag = jnp.zeros((k, 7, 7), jnp.float32)
+        bdiag = bdiag.at[edge_i].add(b_ii).at[edge_j].add(b_jj)
+        return err, (j_i, j_j), g, bdiag
+
+    def matvec(jac, x, lam, dvec):
+        """(damped H) @ x without forming H."""
+        j_i, j_j = jac
+        y = jnp.einsum("eri,ei->er", j_i, x[edge_i]) + jnp.einsum(
+            "eri,ei->er", j_j, x[edge_j]
+        )
+        out = jnp.zeros((k, 7), jnp.float32)
+        out = out.at[edge_i].add(jnp.einsum("eri,er->ei", j_i, y))
+        out = out.at[edge_j].add(jnp.einsum("eri,er->ei", j_j, y))
+        return out + (lam * dvec + 1e-8) * x + (1.0 - free)[:, None] * x
+
+    def pcg(jac, b, lam, dvec, minv):
+        """Block-Jacobi preconditioned CG on (damped H) x = b."""
+
+        def apply_minv(r):
+            return jnp.einsum("kij,kj->ki", minv, r)
+
+        x0 = jnp.zeros_like(b)
+        r0 = b
+        z0 = apply_minv(r0)
+        p0 = z0
+        rz0 = jnp.sum(r0 * z0)
+        bnorm = jnp.sqrt(jnp.sum(b * b)) + 1e-30
+
+        def cond(st):
+            x, r, z, p, rz, it = st
+            return (it < cg_iters) & (jnp.sqrt(jnp.sum(r * r)) > cg_tol * bnorm)
+
+        def body(st):
+            x, r, z, p, rz, it = st
+            ap = matvec(jac, p, lam, dvec)
+            alpha = rz / jnp.maximum(jnp.sum(p * ap), 1e-30)
+            x = x + alpha * p
+            r = r - alpha * ap
+            z = apply_minv(r)
+            rz_new = jnp.sum(r * z)
+            beta = rz_new / jnp.maximum(rz, 1e-30)
+            p = z + beta * p
+            return (x, r, z, p, rz_new, it + 1)
+
+        x, *_ = jax.lax.while_loop(cond, body, (x0, r0, z0, p0, rz0, jnp.int32(0)))
+        return x
+
+    eye7 = jnp.eye(7)
+
+    def lm_cond(carry):
+        _, _, _, _, _, _, it, done = carry
+        return (it < n_iters) & jnp.logical_not(done)
+
+    def lm_step(carry):
+        p, jac, g, bdiag, lam, err, it, done = carry
+        dvec = bdiag[:, jnp.arange(7), jnp.arange(7)]  # (K, 7)
+        # block preconditioner: damped per-vertex block (+ identity on fixed)
+        mblk = (
+            bdiag
+            + jax.vmap(jnp.diag)(lam * dvec + 1e-8)
+            + (1.0 - free)[:, None, None] * eye7
+        )
+        minv = jnp.linalg.inv(mblk)
+        dx = pcg(jac, -g, lam, dvec, minv)
+        dx = dx * free[:, None]
+        p_new = jax.vmap(sim3_exp)(dx) @ p
+        err_new, jac_new, g_new, bd_new = eval_point(p_new)
+        accept = err_new < err
+        p = jnp.where(accept, p_new, p)
+        jac = jax.tree.map(lambda a, b: jnp.where(accept, b, a), jac, jac_new)
+        g = jnp.where(accept, g_new, g)
+        bdiag = jnp.where(accept, bd_new, bdiag)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)
+        err = jnp.where(accept, err_new, err)
+        done = (jnp.max(jnp.abs(dx)) < 1e-7) | (lam >= 1e6)
+        return (p, jac, g, bdiag, lam, err, it + 1, done)
+
+    err0, jac0, g0, bd0 = eval_point(poses)
+    p, _, _, _, _, err, _, _ = jax.lax.while_loop(
+        lm_cond, lm_step,
+        (poses, jac0, g0, bd0, jnp.float32(1e-6), err0, jnp.int32(0), jnp.bool_(False)),
+    )
+    return PoseGraphResult(poses=p, cost=err)
+
+
+# above this many vertices the dense (7K)^2 Hessian path is O(K^2) memory and
+# O(K^3) solve time per iteration — switch to the matrix-free CG solver
+DENSE_VERTEX_LIMIT = 512
+
+
+def solve_pose_graph(
+    poses, fixed, edge_i, edge_j, edge_meas, edge_mask,
+    edge_weight=None, n_iters: int = 20, solver: str = "auto",
+) -> PoseGraphResult:
+    """Host dispatcher: dense Cholesky LM for small graphs, matrix-free
+    block-Jacobi PCG for large ones (both give the same optimum; see
+    tests/test_posegraph_assembly.py)."""
+    k = poses.shape[0]
+    if solver == "auto":
+        solver = "cg" if k > DENSE_VERTEX_LIMIT else "dense"
+    if solver == "cg":
+        return optimize_pose_graph_cg(
+            poses, fixed, edge_i, edge_j, edge_meas, edge_mask,
+            edge_weight, n_iters=n_iters,
+        )
+    return optimize_pose_graph(
+        poses, fixed, edge_i, edge_j, edge_meas, edge_mask,
+        edge_weight, n_iters=n_iters,
+    )
 
 
 # ---------------------------------------------------------------------------
