@@ -15,6 +15,8 @@ from orbslam2commentedbyxcm_tpu.utils.camera import Camera
 from orbslam2commentedbyxcm_tpu.utils.evaluation import ate_rmse, positions_from_tcw
 from orbslam2commentedbyxcm_tpu.utils.synth import BoxSequence
 
+pytestmark = pytest.mark.slow  # system-level: excluded from -m quick
+
 
 @pytest.fixture(scope="module")
 def loop_run():

@@ -14,6 +14,8 @@ from orbslam2commentedbyxcm_tpu.utils.camera import Camera
 from orbslam2commentedbyxcm_tpu.utils.evaluation import ate_rmse, positions_from_tcw, rpe
 from orbslam2commentedbyxcm_tpu.utils.synth import SyntheticSequence
 
+pytestmark = pytest.mark.slow  # system-level: excluded from -m quick
+
 
 def small_camera():
     return Camera(fx=250.0, fy=250.0, cx=160.0, cy=120.0, width=320, height=240, bf=20.0)

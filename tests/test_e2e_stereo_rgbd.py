@@ -9,6 +9,8 @@ from orbslam2commentedbyxcm_tpu.utils.camera import Camera
 from orbslam2commentedbyxcm_tpu.utils.evaluation import ate_rmse, positions_from_tcw
 from orbslam2commentedbyxcm_tpu.utils.synth import SyntheticSequence
 
+pytestmark = pytest.mark.slow  # system-level: excluded from -m quick
+
 N_FRAMES = 20
 
 

@@ -6,6 +6,9 @@ from orbslam2commentedbyxcm_tpu.models.system import System, Sensor
 from orbslam2commentedbyxcm_tpu.models.tracking import TrackingConfig, TrackingState
 from orbslam2commentedbyxcm_tpu.utils.camera import Camera
 from orbslam2commentedbyxcm_tpu.utils.synth import SyntheticSequence
+import pytest
+
+pytestmark = pytest.mark.slow  # system-level: excluded from -m quick
 
 
 def test_save_load_relocalize(tmp_path):

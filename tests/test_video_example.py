@@ -8,6 +8,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # system-level: excluded from -m quick
+
 cv2 = pytest.importorskip("cv2")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
