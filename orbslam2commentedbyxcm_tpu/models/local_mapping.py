@@ -448,20 +448,7 @@ class LocalMapping:
     # -- fusion ------------------------------------------------------------
 
     def _pack_points(self, pids: np.ndarray, cap: int):
-        xyz = np.zeros((cap, 3), np.float32)
-        desc = np.zeros((cap, 8), np.uint32)
-        normal = np.zeros((cap, 3), np.float32)
-        dmin = np.zeros(cap, np.float32)
-        dmax = np.full(cap, 1e9, np.float32)
-        mask = np.zeros(cap, bool)
-        n = len(pids)
-        xyz[:n] = self.map.pt_xyz[pids]
-        desc[:n] = self.map.pt_desc[pids]
-        normal[:n] = self.map.pt_normal[pids]
-        dmin[:n] = self.map.pt_dmin[pids]
-        dmax[:n] = self.map.pt_dmax[pids]
-        mask[:n] = True
-        return xyz, desc, normal, dmin, dmax, mask
+        return self.map.pack_points(pids, cap)
 
     def _merge_matches(self, target: KeyFrame, pids: np.ndarray, best_pt, ok):
         """Host-side duplicate merge for one target keyframe (the Fuse

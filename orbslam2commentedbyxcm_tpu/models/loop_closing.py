@@ -186,13 +186,39 @@ class LoopClosing:
             if not bool(res.success):
                 continue
 
+            # SearchBySim3 (src/ORBmatcher.cc:1361, called LoopClosing.cc:344):
+            # grow the BoW match set with mutual Sim3-guided projection
+            # matches before refinement, so borderline loops reach the
+            # >=20-inlier gate like the reference
+            new1, new2 = self._search_by_sim3(kf, ckf, res.s12, my, their,
+                                              my_feat, their_feat)
+            if len(new1):
+                my_feat = np.concatenate([my_feat, new1])
+                their_feat = np.concatenate([their_feat, new2])
+                pids1 = kf.map_pt[my_feat]
+                pids2 = ckf.map_pt[their_feat]
+                n = len(pids1)
+                p1 = self.map.pt_xyz[pids1] @ kf.t_cw[:3, :3].T + kf.t_cw[:3, 3]
+                p2 = self.map.pt_xyz[pids2] @ ckf.t_cw[:3, :3].T + ckf.t_cw[:3, 3]
+                sig1 = lvl_sig[kf.level[my_feat]]
+                sig2 = lvl_sig[ckf.level[their_feat]]
+                bn = bucket(n)
+                p1p = pad_rows(p1.astype(np.float32), bn)
+                p2p = pad_rows(p2.astype(np.float32), bn)
+                inl0 = np.zeros(bn, bool)
+                inl0[: n - len(new1)] = np.asarray(res.inliers)[: n - len(new1)]
+                inl0[n - len(new1): n] = True
+                inliers = jnp.asarray(inl0)
+            else:
+                inliers = res.inliers
+
             # refine with bidirectional reprojection (OptimizeSim3)
             uv1 = kf.uv_und[my_feat].astype(np.float32)
             uv2 = ckf.uv_und[their_feat].astype(np.float32)
             ref = posegraph.optimize_sim3(
                 res.s12, jnp.asarray(p1p), jnp.asarray(p2p),
                 jnp.asarray(pad_rows(uv1, bn)), jnp.asarray(pad_rows(uv2, bn)),
-                res.inliers,
+                inliers,
                 jnp.asarray(cam.K),
                 jnp.asarray(pad_rows((1.0 / np.maximum(sig1, 1e-6)).astype(np.float32), bn, 1.0)),
                 jnp.asarray(pad_rows((1.0 / np.maximum(sig2, 1e-6)).astype(np.float32), bn, 1.0)),
@@ -219,38 +245,81 @@ class LoopClosing:
             self.stats["guided_fail"] += 1
         return False, -1, None, None
 
+    def _search_by_sim3(self, kf: KeyFrame, ckf: KeyFrame, s12, my, their,
+                        my_feat, their_feat):
+        """Host wrapper for ops/sim3solver.search_by_sim3: packs the two KFs'
+        point-carrying feature rows and returns the NEW mutually-agreed pairs
+        (feature indices into kf / ckf) beyond the already-matched set."""
+        m = self.map
+
+        def pack(akf, rows, matched_rows, cap):
+            pids = akf.map_pt[rows]
+            valid = m.pt_valid[np.maximum(pids, 0)] & (pids >= 0)
+            pts_c = (m.pt_xyz[np.maximum(pids, 0)] @ akf.t_cw[:3, :3].T
+                     + akf.t_cw[:3, 3])
+            already = np.isin(rows, matched_rows)
+            return (
+                pad_rows(pts_c.astype(np.float32), cap),
+                pad_rows(m.pt_desc[np.maximum(pids, 0)], cap),
+                pad_rows(m.pt_dmax[np.maximum(pids, 0)].astype(np.float32), cap, 1.0),
+                pad_rows(akf.uv_und[rows].astype(np.float32), cap),
+                pad_rows(akf.desc[rows], cap),
+                pad_rows(akf.level[rows].astype(np.int32), cap),
+                pad_mask(len(rows), cap) & pad_rows(valid, cap, False),
+                # padding columns are "already matched" so they never win
+                ~(pad_mask(len(rows), cap) & pad_rows(~already, cap, False)),
+            )
+
+        bm, bt = bucket(len(my)), bucket(len(their))
+        a1 = pack(kf, my, my_feat, bm)
+        a2 = pack(ckf, their, their_feat, bt)
+        cam = self.camera
+        match1, agree = sim3solver.search_by_sim3(
+            jnp.asarray(np.asarray(s12, np.float32)),
+            *[jnp.asarray(x) for x in a1], *[jnp.asarray(x) for x in a2],
+            jnp.asarray(cam.K), float(cam.width), float(cam.height),
+            float(np.log(kf.scale_factor)), kf.n_levels,
+        )
+        match1 = np.asarray(match1)[: len(my)]
+        agree = np.asarray(agree)[: len(my)] & (match1 < len(their))
+        rows = np.nonzero(agree)[0]
+        return my[rows], their[match1[rows]]
+
     def _count_guided_matches(self, kf: KeyFrame, s_cw: np.ndarray, pids: np.ndarray) -> int:
         matched, _ = self._guided_matches(kf, s_cw, pids)
         return int((matched >= 0).sum())
 
-    def _guided_matches(self, kf: KeyFrame, s_cw: np.ndarray, pids: np.ndarray):
+    def _guided_matches(self, kf: KeyFrame, s_cw: np.ndarray, pids: np.ndarray,
+                        radius: float = 10.0):
         """Project pids through the (Sim3) pose s_cw into kf and Hamming-match
-        (SearchByProjection with Sim3, src/ORBmatcher.cc:398)."""
+        (SearchByProjection with Sim3, src/ORBmatcher.cc:398; th=10 in
+        CorrectLoop's guided search). Device-side: the Sim3 is de-scaled to an
+        SE3 (R, t/s) exactly as the reference does (:445-449), then the jitted
+        `project_and_match` applies the frustum / distance-band / view-angle /
+        predicted-scale gates and the masked Hamming matmul in one program."""
         cam = self.camera
         if len(pids) == 0:
-            return np.full(kf.capacity, -1, np.int64), np.zeros(0)
-        xyz = self.map.pt_xyz[pids]
-        pc = xyz @ s_cw[:3, :3].T + s_cw[:3, 3]
-        z = pc[:, 2]
-        vis = z > 0.05
-        u = cam.fx * pc[:, 0] / np.maximum(z, 1e-6) + cam.cx
-        v = cam.fy * pc[:, 1] / np.maximum(z, 1e-6) + cam.cy
-        vis &= (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
-        duv = np.maximum(
-            np.abs(u[:, None] - kf.uv_und[None, :, 0]),
-            np.abs(v[:, None] - kf.uv_und[None, :, 1]),
+            return np.full(kf.capacity, -1, np.int64), np.zeros(kf.capacity, np.float32)
+        from orbslam2commentedbyxcm_tpu.models.tracking import project_and_match
+
+        s = float(geo.sim3_scale(jnp.asarray(s_cw)))
+        t_cw = np.eye(4, dtype=np.float32)
+        t_cw[:3, :3] = np.asarray(s_cw[:3, :3]) / s
+        t_cw[:3, 3] = np.asarray(s_cw[:3, 3]) / s
+        cap = bucket(len(pids), 1024)
+        packed = self.map.pack_points(pids, cap)
+        best_pt, best_d, ok, _ = project_and_match(
+            *[jnp.asarray(a) for a in packed],
+            jnp.asarray(t_cw), jnp.asarray(kf.uv_und), jnp.asarray(kf.desc),
+            jnp.asarray(kf.level), jnp.asarray(kf.valid),
+            cam.fx, cam.fy, cam.cx, cam.cy, float(cam.width), float(cam.height),
+            float(radius), float(matching.TH_LOW),
+            float(np.log(kf.scale_factor)), kf.n_levels,
         )
-        cand = vis[:, None] & (duv <= 10.0) & kf.valid[None, :]
-        bp = bucket(len(pids), 256)
-        d = np.asarray(matching.hamming_matrix(
-            jnp.asarray(pad_rows(self.map.pt_desc[pids], bp)), jnp.asarray(kf.desc)
-        ))[: len(pids)]
-        d = np.where(cand, d, 1e9)
-        best_pt = d.argmin(axis=0)
-        best_d = d.min(axis=0)
-        ok = best_d <= matching.TH_LOW
-        matched = np.where(ok, pids[best_pt], -1)
-        return matched, best_d
+        best_pt, ok = np.asarray(best_pt), np.asarray(ok)
+        ok = ok & (best_pt < len(pids))
+        matched = np.where(ok, pids[np.minimum(best_pt, len(pids) - 1)], -1)
+        return matched, np.asarray(best_d)
 
     # -- correction --------------------------------------------------------
 
@@ -301,15 +370,61 @@ class LoopClosing:
         # 3. fuse loop points into the current KF (replace duplicates)
         matched, _ = self._guided_matches(kf, s_cur_corr, loop_pids)
         for feat_idx in np.nonzero(matched >= 0)[0]:
-            new_pid = int(matched[feat_idx])
+            new_pid = m.resolve_replaced(int(matched[feat_idx]))
+            if new_pid < 0:
+                continue  # absorbed by an earlier replace in this loop
             old_pid = int(kf.map_pt[feat_idx])
             if old_pid >= 0 and m.pt_valid[old_pid] and old_pid != new_pid:
                 m.replace_point(old_pid, new_pid)
             elif old_pid < 0 and kf.kf_id not in m.obs.get(new_pid, {}):
                 m.add_observation(new_pid, kf.kf_id, int(feat_idx))
 
+        # 3b. SearchAndFuse over the whole corrected group (reference
+        # :646-676): project the loop points into EVERY corrected keyframe
+        # with its corrected pose (radius 4) and replace/absorb duplicates —
+        # the loop-side point always wins (it carries less accumulated drift)
+        prev_neighbors = {
+            gid: set(m.keyframes[gid].covis) for gid in corrected
+            if gid in m.keyframes
+        }
+        for gid in corrected:
+            gkf = m.keyframes.get(gid)
+            if gkf is None or gkf.bad or gid == kf.kf_id:
+                continue
+            loop_pids_live = loop_pids[m.pt_valid[loop_pids]]
+            # the corrected pose was already written back as SE3; as a Sim3
+            # it has scale 1, so it can feed the guided matcher directly
+            gmatched, _ = self._guided_matches(
+                gkf, gkf.t_cw, loop_pids_live, radius=4.0
+            )
+            for feat_idx in np.nonzero(gmatched >= 0)[0]:
+                lp = m.resolve_replaced(int(gmatched[feat_idx]))
+                if lp < 0:
+                    continue  # absorbed by an earlier replace in this pass
+                old = int(gkf.map_pt[feat_idx])
+                if old >= 0 and m.pt_valid[old] and old != lp:
+                    m.replace_point(old, lp)  # loop point replaces (ref :672)
+                elif old < 0 and gid not in m.obs.get(lp, {}):
+                    m.add_observation(lp, gid, int(feat_idx))
+
+        # 3c. LoopConnections (reference :595-623): covisibility links newly
+        # created by the fusion — minus pre-loop links and intra-group links —
+        # become extra essential-graph edges with corrected-relative
+        # measurements
+        group_set = set(corrected)
+        loop_connections: dict[int, set] = {}
+        for gid in corrected:
+            gkf = m.keyframes.get(gid)
+            if gkf is None or gkf.bad:
+                continue
+            m.update_connections(gkf)
+            new_links = set(gkf.covis) - prev_neighbors.get(gid, set()) - group_set
+            if new_links:
+                loop_connections[gid] = new_links
+
         # 4. essential graph optimization (reference :621 / Optimizer.cc:873)
-        self._optimize_essential_graph(kf, loop_kf_id, corrected, non_corrected)
+        self._optimize_essential_graph(kf, loop_kf_id, corrected, non_corrected,
+                                       loop_connections)
         # loop-edge endpoints are permanently protected from culling
         # (reference KeyFrame::AddLoopEdge sets mbNotErase, src/KeyFrame.cc)
         kf.loop_edges.add(loop_kf_id)
@@ -328,7 +443,8 @@ class LoopClosing:
         self.n_loops_closed += 1
         m.big_change_idx += 1
 
-    def _optimize_essential_graph(self, kf, loop_kf_id, corrected, non_corrected):
+    def _optimize_essential_graph(self, kf, loop_kf_id, corrected, non_corrected,
+                                  loop_connections=None):
         m = self.map
         kfs = sorted(k.kf_id for k in m.good_keyframes())
         slot = {kf_id: i for i, kf_id in enumerate(kfs)}
@@ -361,6 +477,14 @@ class LoopClosing:
         def _sim3_of(gkf):
             return np.asarray(geo.sim3_make(
                 jnp.asarray(gkf.t_cw[:3, :3]), jnp.asarray(gkf.t_cw[:3, 3]), 1.0))
+
+        # LoopConnections edges first (reference Optimizer.cc:920-960):
+        # fusion-created links, measured with the CURRENT (corrected) poses
+        if loop_connections:
+            for a, links in loop_connections.items():
+                for b in links:
+                    if b in slot and a in slot:
+                        add_edge(a, b)
 
         for kf_id in kfs:
             gkf = m.keyframes[kf_id]

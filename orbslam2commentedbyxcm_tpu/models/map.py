@@ -322,6 +322,25 @@ class Map:
             pids.update(int(p) for p in kf.map_pt[kf.map_pt >= 0])
         return np.fromiter((p for p in pids if self.pt_valid[p]), np.int64) if pids else np.zeros(0, np.int64)
 
+    def pack_points(self, pids: np.ndarray, cap: int):
+        """Pack point attributes for `pids` into fixed-capacity arrays for the
+        device projection matcher: (xyz, desc, normal, dmin, dmax, mask)."""
+        xyz = np.zeros((cap, 3), np.float32)
+        desc = np.zeros((cap, 8), np.uint32)
+        normal = np.zeros((cap, 3), np.float32)
+        dmin = np.zeros(cap, np.float32)
+        dmax = np.full(cap, 1e9, np.float32)
+        mask = np.zeros(cap, bool)
+        n = min(len(pids), cap)
+        pids = pids[:n]
+        xyz[:n] = self.pt_xyz[pids]
+        desc[:n] = self.pt_desc[pids]
+        normal[:n] = self.pt_normal[pids]
+        dmin[:n] = self.pt_dmin[pids]
+        dmax[:n] = self.pt_dmax[pids]
+        mask[:n] = True
+        return xyz, desc, normal, dmin, dmax, mask
+
     def n_valid_points(self) -> int:
         return int(self.pt_valid[: self.n_points].sum())
 

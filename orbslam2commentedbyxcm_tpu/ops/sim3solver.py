@@ -161,3 +161,89 @@ def ransac_sim3(
         n_inliers=n_inl,
         success=n_inl >= min_inliers,
     )
+
+
+# ---------------------------------------------------------------------------
+# Sim3-guided mutual match growing (ORBmatcher::SearchBySim3)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("n_levels",))
+def search_by_sim3(
+    s12: jnp.ndarray,        # (4, 4) Sim3 mapping cam2 coords -> cam1 coords
+    pts1: jnp.ndarray,       # (M, 3) map points of KF1 features, in cam1 frame
+    pdesc1: jnp.ndarray,     # (M, 8) point descriptors
+    dmax1: jnp.ndarray,      # (M,) scale-invariance max distance
+    uv1: jnp.ndarray,        # (M, 2) KF1 feature pixels (candidate targets)
+    fdesc1: jnp.ndarray,     # (M, 8) KF1 feature descriptors
+    lvl1: jnp.ndarray,       # (M,) KF1 feature octaves
+    mask1: jnp.ndarray,      # (M,) row has a valid point
+    already1: jnp.ndarray,   # (M,) feature already matched (skip as source)
+    pts2, pdesc2, dmax2, uv2, fdesc2, lvl2, mask2, already2,  # same for KF2
+    k_mat: jnp.ndarray,
+    width: float, height: float,
+    log_scale: float,
+    n_levels: int,
+    th: float = 7.5,         # search radius factor (reference LoopClosing.cc:344)
+    max_dist: float = 100.0,  # TH_HIGH (reference :1492)
+):
+    """Mutual Sim3-guided projection matching between two keyframes' map
+    points (ORBmatcher::SearchBySim3, src/ORBmatcher.cc:1361): project KF1's
+    points into KF2 through S21 and KF2's into KF1 through S12, window-search
+    by Hamming at the predicted scale, and keep pairs on which both
+    directions agree. Candidate targets here are the point-carrying feature
+    rows (the reference searches all features, but agreement requires the
+    matched feature to carry a point, so non-carrying targets can never form
+    a pair). Returns (match1 (M,) index into KF2 rows, agree1 (M,) bool)."""
+    fx, fy, cx, cy = k_mat[0, 0], k_mat[1, 1], k_mat[0, 2], k_mat[1, 2]
+    s21 = jnp.linalg.inv(s12)
+
+    def direction(s_ba, pts_a, pdesc_a, dmax_a, mask_a, already_a,
+                  uv_b, fdesc_b, lvl_b, already_b):
+        """Project A's points into B's image; best feature of B per point."""
+        q = pts_a @ s_ba[:3, :3].T + s_ba[:3, 3]   # (M, 3) in cam B (Sim3)
+        z = q[:, 2]
+        z_ok = z > 1e-6
+        zs = jnp.where(z_ok, z, 1.0)
+        u = fx * q[:, 0] / zs + cx
+        v = fy * q[:, 1] / zs + cy
+        in_img = (u >= 0) & (u < width) & (v >= 0) & (v < height)
+        dist = jnp.linalg.norm(q, axis=-1)
+        dmin_a = dmax_a / jnp.exp(log_scale * (n_levels - 1))
+        band = (dist >= dmin_a) & (dist <= dmax_a)
+        pred = jnp.clip(
+            jnp.ceil(
+                jnp.log(jnp.maximum(dmax_a / jnp.maximum(dist, 1e-9), 1e-9))
+                / log_scale
+            ),
+            0, n_levels - 1,
+        ).astype(jnp.int32)
+        radius = th * jnp.exp(pred.astype(jnp.float32) * log_scale)
+        visible = mask_a & (~already_a) & z_ok & in_img & band
+
+        duv = jnp.maximum(
+            jnp.abs(u[:, None] - uv_b[None, :, 0]),
+            jnp.abs(v[:, None] - uv_b[None, :, 1]),
+        )
+        # reference level gate: octave in [pred-1, pred] (:1480-1482)
+        lvl_ok = (lvl_b[None, :] >= pred[:, None] - 1) & (
+            lvl_b[None, :] <= pred[:, None]
+        )
+        cand = (
+            visible[:, None] & (duv <= radius[:, None]) & lvl_ok
+            & (~already_b)[None, :]
+        )
+        from orbslam2commentedbyxcm_tpu.ops import matching
+
+        d = matching.hamming_matrix(pdesc_a, fdesc_b)
+        d = jnp.where(cand, d, matching.BIG)
+        best = jnp.argmin(d, axis=1).astype(jnp.int32)
+        ok = jnp.min(d, axis=1) <= max_dist
+        return best, ok
+
+    match1, ok1 = direction(s21, pts1, pdesc1, dmax1, mask1, already1,
+                            uv2, fdesc2, lvl2, already2)
+    match2, ok2 = direction(s12, pts2, pdesc2, dmax2, mask2, already2,
+                            uv1, fdesc1, lvl1, already1)
+    agree = ok1 & ok2[match1] & (match2[match1] == jnp.arange(match1.shape[0]))
+    return match1, agree

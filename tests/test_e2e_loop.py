@@ -30,8 +30,8 @@ def loop_run():
     for i in range(seq.n_frames):
         p = system.track_rgbd(seq.render(i), seq.depth_map(i), i / 30.0)
         results.append(p)
-        if system.loop_closing is not None:
-            system.loop_closing.consistency_th = 1
+    # the 3-consecutive-group consistency gate (reference default,
+    # src/LoopClosing.cc:146-221) stays at its real setting
     return seq, system, results
 
 
