@@ -18,11 +18,14 @@ from orbslam2commentedbyxcm_tpu.utils.bucketing import bucket, pad_mask, pad_row
 
 
 class Relocalizer:
-    def __init__(self, world_map, camera, keyframe_db=None, vocabulary=None):
+    def __init__(self, world_map, camera, keyframe_db=None, vocabulary=None,
+                 min_inliers: int = 50):
         self.map = world_map
         self.camera = camera
         self.db = keyframe_db
         self.voc = vocabulary
+        # hard acceptance gate (reference src/Tracking.cc:1666: nGood >= 50)
+        self.min_inliers = min_inliers
         self._key = jax.random.PRNGKey(7)
 
     def relocalize(self, frame, tracking) -> bool:
@@ -84,11 +87,27 @@ class Relocalizer:
             frame.map_pt = np.where(
                 ok & np.asarray(res.inliers), pids[idx], -1
             )
-            # widened local search + pose optimization via the tracking helpers
+            # per-point source angle (observing feature in the candidate KF)
+            # for the orientation histogram of the widened projection search
+            # (reference SearchByProjection KF variant, src/ORBmatcher.cc:1792)
+            sel_obs = np.array([self.map.obs[int(p)].get(kf_id, -1) for p in pids])
+            pt_angle = np.where(
+                sel_obs >= 0, kf.angle[np.maximum(sel_obs, 0)], 0.0
+            ).astype(np.float32)
+
+            # widen -> reoptimize -> narrow cascade with the hard >=50 gate
+            # (reference src/Tracking.cc:1628-1666)
             n, _ = tracking._match_and_optimize(
-                frame, pids, frame.t_cw, radius=10.0, keep_existing=True
+                frame, pids, frame.t_cw, radius=10.0, keep_existing=True,
+                pt_angle=pt_angle,
             )
-            if n >= 50 or (n >= 25 and len(pids) < 100):
+            if self.min_inliers * 0.6 <= n < self.min_inliers:
+                # narrower window, stricter Hamming (th=3, ORBdist=64)
+                n, _ = tracking._match_and_optimize(
+                    frame, pids, frame.t_cw, radius=3.0, max_dist=64.0,
+                    keep_existing=True, pt_angle=pt_angle,
+                )
+            if n >= self.min_inliers:
                 tracking.ref_kf_id = kf_id
                 tracking.velocity = None
                 return True

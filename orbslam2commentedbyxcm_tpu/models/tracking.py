@@ -63,12 +63,19 @@ def project_and_match(
     t_cw, feat_uv, feat_desc, feat_level, feat_valid,
     fx, fy, cx, cy, width, height,
     radius_base, max_dist, log_scale, n_levels,
+    pt_angle=None, feat_angle=None,
 ):
     """Device-side SearchByProjection: returns per-feature (point_slot, dist, ok).
 
     Combines the reference's IsInFrustum gates (src/Frame.cc:412-477) with the
     windowed Hamming search (src/ORBmatcher.cc:61): distance band, viewing
     angle < 60 deg, predicted scale level, per-level search radius.
+
+    With `pt_angle`/`feat_angle`, the orientation-delta histogram filter is
+    applied to the accepted matches (the reference's checkOrientation in the
+    frame->last-frame and frame->KF searches, src/ORBmatcher.cc:1620-1933;
+    `pt_angle` is the angle of the feature that observed each point in the
+    source frame/keyframe).
     """
     r = t_cw[:3, :3]
     pc = pt_xyz @ r.T + t_cw[:3, 3]
@@ -111,6 +118,8 @@ def project_and_match(
     best_pt = jnp.argmin(d, axis=0).astype(jnp.int32)  # per feature
     best_d = jnp.min(d, axis=0)
     ok = (best_d <= max_dist) & feat_valid
+    if pt_angle is not None and feat_angle is not None:
+        ok = matching.rotation_consistency(feat_angle, pt_angle, best_pt, ok)
 
     # uniqueness: if several features picked the same point, keep only the
     # best (strict tie-break by feature index) — duplicate assignments inflate
@@ -418,7 +427,7 @@ class Tracking:
         slot_to_pid = np.full(cap, -1, np.int64)
         slot_to_pid[:n] = pids
         if extra is not None:
-            xyz_e, desc_e, normal_e, dmin_e, dmax_e = extra
+            xyz_e, desc_e, normal_e, dmin_e, dmax_e = extra[:5]
             ne = min(len(xyz_e), cap - n)
             xyz[n:n + ne] = xyz_e[:ne]
             desc[n:n + ne] = desc_e[:ne]
@@ -430,12 +439,22 @@ class Tracking:
         return xyz, desc, normal, dmin, dmax, mask, slot_to_pid
 
     def _match_and_optimize(self, frame: Frame, pids, t_pred, radius, cap=LOCAL_POINT_CAP,
-                            max_dist=matching.TH_HIGH, keep_existing=False, extra=None):
+                            max_dist=matching.TH_HIGH, keep_existing=False, extra=None,
+                            pt_angle=None):
         cfg = self.cfg
         cam = self.camera
         xyz, desc, normal, dmin, dmax, mask, slot_to_pid = self._gather_points(
             pids, cap, extra=extra
         )
+        angle_args = ()
+        if pt_angle is not None:
+            ang = np.zeros(cap, np.float32)
+            n = min(len(pids), cap)
+            ang[:n] = pt_angle[:n]
+            if extra is not None and len(extra) >= 6:
+                ne = min(len(extra[5]), cap - n)
+                ang[n:n + ne] = extra[5][:ne]
+            angle_args = (jnp.asarray(ang), jnp.asarray(frame.angle))
         best_pt, best_d, ok, visible = project_and_match(
             jnp.asarray(xyz), jnp.asarray(desc), jnp.asarray(normal),
             jnp.asarray(dmin), jnp.asarray(dmax), jnp.asarray(mask),
@@ -443,6 +462,7 @@ class Tracking:
             jnp.asarray(frame.level), jnp.asarray(frame.valid),
             cam.fx, cam.fy, cam.cx, cam.cy, float(cam.width), float(cam.height),
             float(radius), float(max_dist), float(np.log(cfg.scale_factor)), cfg.n_levels,
+            *angle_args,
         )
         best_pt = np.asarray(best_pt)
         ok = np.asarray(ok)
@@ -514,6 +534,7 @@ class Tracking:
         self._temporal = (
             pw.astype(np.float32), lf.desc[keep], normal.astype(np.float32),
             dmin.astype(np.float32), dmax.astype(np.float32),
+            lf.angle[keep].astype(np.float32),
         )
 
     def _track_with_motion_model(self, frame: Frame) -> bool:
@@ -521,7 +542,11 @@ class Tracking:
         lf = self.last_frame
         for i in np.nonzero(lf.map_pt >= 0)[0]:
             lf.map_pt[i] = self.map.resolve_replaced(int(lf.map_pt[i]))
-        pids = np.unique(lf.map_pt[lf.map_pt >= 0])
+        feats = np.nonzero(lf.map_pt >= 0)[0]
+        pids, first = np.unique(lf.map_pt[feats], return_index=True)
+        # per-point source angle for the orientation-consistency histogram
+        # (reference frame->last-frame search, src/ORBmatcher.cc:1620)
+        pt_angle = lf.angle[feats[first]].astype(np.float32)
         extra = None
         if self.localization_only:
             self._update_last_frame_temporal()
@@ -531,7 +556,8 @@ class Tracking:
         t_pred = (self.velocity @ lf.t_cw).astype(np.float32)
         frame.set_pose(t_pred)
         n, _ = self._match_and_optimize(
-            frame, pids, t_pred, self.cfg.motion_search_radius, extra=extra
+            frame, pids, t_pred, self.cfg.motion_search_radius, extra=extra,
+            pt_angle=pt_angle,
         )
         if self.localization_only:
             # VO mode when the pose rests on < 10 real map points (ref :1010)
