@@ -133,7 +133,13 @@ class KeyFrame:
         self.t_cw = np.asarray(t_cw, np.float32)
 
     def inv_sigma2(self) -> np.ndarray:
-        return (1.0 / level_sigma2(self.n_levels, self.scale_factor)[self.level]).astype(np.float32)
+        cached = getattr(self, "_inv_sigma2", None)
+        if cached is None:
+            cached = (
+                1.0 / level_sigma2(self.n_levels, self.scale_factor)[self.level]
+            ).astype(np.float32)
+            self._inv_sigma2 = cached  # features are immutable on a KeyFrame
+        return cached
 
     def best_covisible(self, n: int | None = None) -> list[int]:
         """Covisible keyframe ids ordered by weight (GetBestCovisibilityKeyFrames)."""

@@ -423,6 +423,7 @@ class LocalMapping:
             cam.fx, cam.fy, cam.cx, cam.cy, cam.bf, cam.b,
         )
         pts, good = np.asarray(pts), np.asarray(good)  # (B, N, 3), (B, N)
+        created = []
         for b, nb in enumerate(nbs):
             for i in np.nonzero(good[b])[0]:
                 if kf.map_pt[i] >= 0 or nb.map_pt[best[b, i]] >= 0:
@@ -431,9 +432,11 @@ class LocalMapping:
                 self.map.pt_first_kf[pid] = kf.kf_id
                 self.map.add_observation(pid, kf.kf_id, int(i))
                 self.map.add_observation(pid, nb.kf_id, int(best[b, i]))
-                self.map.update_point_descriptor(pid)
-                self.map.update_point_normal_depth(pid)
                 self.recent_points.append((pid, kf.kf_id))
+                created.append(pid)
+        if created:
+            self.map.update_point_descriptors_batch(created)
+            self.map.update_points_batch(created)
         self.map.update_connections(kf)
 
     def _scene_median_depth(self, kf: KeyFrame) -> float:
@@ -450,11 +453,13 @@ class LocalMapping:
     def _pack_points(self, pids: np.ndarray, cap: int):
         return self.map.pack_points(pids, cap)
 
-    def _merge_matches(self, target: KeyFrame, pids: np.ndarray, best_pt, ok):
+    def _merge_matches(self, target: KeyFrame, pids: np.ndarray, best_pt, ok,
+                       touched=None):
         """Host-side duplicate merge for one target keyframe (the Fuse
         resolution logic of src/ORBmatcher.cc:1067: existing observation ->
         replace the point with fewer observations; free feature -> add the
-        observation)."""
+        observation). Points that gained an observation are appended to
+        `touched` for one batched attribute refresh at the end of the stage."""
         n = len(pids)
         for feat_idx in np.nonzero(ok)[0]:
             slot = best_pt[feat_idx]
@@ -474,8 +479,11 @@ class LocalMapping:
             else:
                 if target.kf_id not in self.map.obs.get(pid, {}):
                     self.map.add_observation(pid, target.kf_id, int(feat_idx))
-                    self.map.update_point_descriptor(pid)
-                    self.map.update_point_normal_depth(pid)
+                    if touched is None:
+                        self.map.update_point_descriptor(pid)
+                        self.map.update_point_normal_depth(pid)
+                    else:
+                        touched.append(pid)
 
     def fuse_neighbors(self, kf: KeyFrame):
         """SearchInNeighbors (src/LocalMapping.cc:506-603): bidirectional
@@ -497,6 +505,8 @@ class LocalMapping:
             if (t := self.map.keyframes.get(t_id)) is not None and not t.bad
         ]
 
+        touched: list = []
+
         def fuse_into(target: KeyFrame, pids: np.ndarray):
             if len(pids) == 0:
                 return
@@ -510,7 +520,8 @@ class LocalMapping:
                 3.0, float(matching.TH_LOW), float(np.log(target.scale_factor)),
                 target.n_levels,
             )
-            self._merge_matches(target, pids, np.asarray(best_pt), np.asarray(ok))
+            self._merge_matches(target, pids, np.asarray(best_pt), np.asarray(ok),
+                                touched=touched)
 
         kf_pids = np.unique(kf.map_pt[kf.map_pt >= 0])
         kf_pids = kf_pids[self.map.pt_valid[kf_pids]]
@@ -536,10 +547,14 @@ class LocalMapping:
             )
             best_pt, ok = np.asarray(best_pt), np.asarray(ok)
             for b, target in enumerate(t_list):
-                self._merge_matches(target, kf_pids, best_pt[b], ok[b])
+                self._merge_matches(target, kf_pids, best_pt[b], ok[b],
+                                    touched=touched)
         # reverse direction: neighbors' points into kf
         nb_pids = self.map.points_seen_by(targets)
         fuse_into(kf, nb_pids)
+        if touched:
+            self.map.update_point_descriptors_batch(touched)
+            self.map.update_points_batch(touched)
         self.map.update_connections(kf)
 
     # -- keyframe culling --------------------------------------------------
@@ -547,35 +562,34 @@ class LocalMapping:
     def cull_keyframes(self, kf: KeyFrame):
         """KeyFrameCulling (src/LocalMapping.cc:708-775): a local KF is
         redundant if >=90% of its points are seen by >=3 other KFs at the same
-        or finer scale."""
+        or finer scale. Vectorized: one observer-CSR pass + per-observing-KF
+        level gather per candidate, instead of a triple Python loop."""
         m = self.map
         for kf_id in kf.best_covisible():
             c = m.keyframes.get(kf_id)
             if c is None or c.bad or c.kf_id == m.origin_kf_id:
                 continue
-            pids = c.map_pt[c.map_pt >= 0]
-            if len(pids) == 0:
+            feats = np.nonzero(c.map_pt >= 0)[0]
+            pids = c.map_pt[feats]
+            valid = m.pt_valid[pids]
+            feats, pids = feats[valid], pids[valid]
+            n_total = len(pids)
+            if n_total == 0:
                 continue
-            n_redundant = 0
-            n_total = 0
-            for i, pid in zip(np.nonzero(c.map_pt >= 0)[0], pids):
-                pid = int(pid)
-                if not m.pt_valid[pid]:
+            pid_idx, kf_arr, ft_arr = m._observer_csr(pids)
+            other = kf_arr != kf_id
+            lv_rows = np.full(len(kf_arr), 1 << 30, np.int64)
+            for k in np.unique(kf_arr[other]):
+                o = m.keyframes.get(int(k))
+                if o is None:
                     continue
-                n_total += 1
-                lvl = c.level[i]
-                n_better = 0
-                for other_id, fidx in m.obs.get(pid, {}).items():
-                    if other_id == kf_id:
-                        continue
-                    o = m.keyframes.get(other_id)
-                    if o is not None and o.level[fidx] <= lvl + 1:
-                        n_better += 1
-                        if n_better >= 3:
-                            break
-                if n_better >= 3:
-                    n_redundant += 1
-            if n_total > 0 and n_redundant > 0.9 * n_total:
+                sel = kf_arr == k
+                lv_rows[sel] = o.level[ft_arr[sel]]
+            lvl_here = c.level[feats]
+            better = other & (lv_rows <= lvl_here[pid_idx] + 1)
+            n_better = np.bincount(pid_idx[better], minlength=n_total)
+            n_redundant = int((n_better >= 3).sum())
+            if n_redundant > 0.9 * n_total:
                 m.erase_keyframe(kf_id)
 
     # -- local BA ----------------------------------------------------------
@@ -652,21 +666,27 @@ def assemble_ba_problem(m: Map, local_set, fixed_ids=None):
     points[: len(pids)] = m.pt_xyz[pids]
     point_valid[: len(pids)] = True
 
-    obs_pose, obs_point, obs_uvr, obs_sig, obs_feat = [], [], [], [], []
-    for pid in pids:
-        for kf_id, feat_idx in m.obs.get(int(pid), {}).items():
-            if kf_id not in kf_slot:
-                continue
-            okf = m.keyframes[kf_id]
-            obs_pose.append(kf_slot[kf_id])
-            obs_point.append(pid_slot[int(pid)])
-            obs_uvr.append(
-                (okf.uv_und[feat_idx][0], okf.uv_und[feat_idx][1], okf.u_right[feat_idx])
-            )
-            obs_sig.append(okf.inv_sigma2()[feat_idx])
-            obs_feat.append((kf_id, int(pid), feat_idx))
-    if len(obs_pose) < 8:
+    # vectorized edge assembly: one observer-CSR pass, then per-observing-KF
+    # gathers (uv / u_right / inv_sigma2) instead of a Python loop per edge
+    pid_idx, kf_arr, ft_arr = m._observer_csr(pids)
+    in_graph = np.fromiter((int(k) in kf_slot for k in kf_arr), bool,
+                           count=len(kf_arr)) if len(kf_arr) else np.zeros(0, bool)
+    pid_idx, kf_arr, ft_arr = pid_idx[in_graph], kf_arr[in_graph], ft_arr[in_graph]
+    ne = len(pid_idx)
+    if ne < 8:
         return None
+    obs_pose = np.fromiter((kf_slot[int(k)] for k in kf_arr), np.int32, count=ne)
+    obs_point = pid_idx.astype(np.int32)
+    obs_uvr = np.empty((ne, 3), np.float32)
+    obs_sig = np.empty(ne, np.float32)
+    for k in np.unique(kf_arr):
+        sel = kf_arr == k
+        okf = m.keyframes[int(k)]
+        ft = ft_arr[sel]
+        obs_uvr[sel, :2] = okf.uv_und[ft]
+        obs_uvr[sel, 2] = okf.u_right[ft]
+        obs_sig[sel] = okf.inv_sigma2()[ft]
+    obs_feat = list(zip(kf_arr.tolist(), pids[pid_idx].tolist(), ft_arr.tolist()))
     e_cap = _bucket(len(obs_pose), 1024)
     op = np.zeros(e_cap, np.int32)
     opt_ = np.zeros(e_cap, np.int32)
@@ -742,6 +762,4 @@ def write_back_ba(m: Map, problem, res):
     for e in np.nonzero(~inl[: problem["ne"]])[0]:
         kf_id, pid, feat_idx = problem["obs_feat"][e]
         m.erase_observation(pid, kf_id)
-    for pid in pids:
-        if m.pt_valid[pid]:
-            m.update_point_normal_depth(int(pid))
+    m.update_points_batch(pids)

@@ -563,9 +563,7 @@ class LoopClosing:
             t_cw[:3, :3] = sm[:3, :3] / sc
             t_cw[:3, 3] = sm[:3, 3] / sc
             gkf.set_pose(t_cw)
-        for pid in pids:
-            if m.pt_valid[pid]:
-                m.update_point_normal_depth(int(pid))
+        m.update_points_batch(pids)
 
     def _global_ba(self):
         """Full-map BA (reference RunGlobalBundleAdjustment, :709)."""

@@ -163,6 +163,18 @@ class Map:
             seen += 1
         return pid
 
+    def resolve_replaced_batch(self, pids: np.ndarray) -> np.ndarray:
+        """Vectorized resolve_replaced over an int array (negative entries
+        pass through); follows Replace chains until valid or dead."""
+        cur = np.asarray(pids, np.int64).copy()
+        for _ in range(32):
+            stale = (cur >= 0) & ~self.pt_valid[np.maximum(cur, 0)]
+            if not stale.any():
+                break
+            cur[stale] = self.pt_replaced_by[cur[stale]]
+        cur[(cur >= 0) & ~self.pt_valid[np.maximum(cur, 0)]] = -1
+        return cur
+
     def n_observations(self, pid: int) -> int:
         return len(self.obs.get(pid, {}))
 
@@ -213,6 +225,117 @@ class Map:
         sf = ref.scale_factor
         self.pt_dmax[pid] = dist * (sf ** lvl)
         self.pt_dmin[pid] = self.pt_dmax[pid] / (sf ** (ref.n_levels - 1))
+
+    def _observer_csr(self, pids: np.ndarray):
+        """(pid_idx, kf_id, feat_idx) rows for all observations of `pids` —
+        native CSR export when available, dict walk otherwise."""
+        if self._native is not None:
+            kf_arr, ft_arr, seg = self._native.export_point_observers(pids)
+            total = int(seg[len(pids)])
+            counts = np.diff(seg[: len(pids) + 1])
+            pid_idx = np.repeat(np.arange(len(pids)), counts)
+            return pid_idx, kf_arr[:total], ft_arr[:total].astype(np.int64)
+        rows = [
+            (i, k, f)
+            for i, p in enumerate(pids)
+            for k, f in self.obs.get(int(p), {}).items()
+        ]
+        if not rows:
+            return (np.zeros(0, np.int64),) * 3
+        a = np.asarray(rows, np.int64)
+        return a[:, 0], a[:, 1], a[:, 2]
+
+    def update_points_batch(self, pids):
+        """Vectorized MapPoint::UpdateNormalAndDepth over many points — one
+        CSR pass instead of a Python loop per point (the reference calls it
+        per point from every pipeline stage; here stages batch their touched
+        points and pay one numpy pass)."""
+        pids = np.unique(np.asarray(pids, np.int64))
+        pids = pids[self.pt_valid[pids]] if len(pids) else pids
+        if len(pids) == 0:
+            return
+        pid_idx, kf_arr, ft_arr = self._observer_csr(pids)
+        if len(pid_idx) == 0:
+            return
+        kf_ids = np.unique(kf_arr)
+        live = np.array([int(k) in self.keyframes for k in kf_ids])
+        centers = np.stack([
+            self.keyframes[int(k)].center if ok else np.zeros(3, np.float32)
+            for k, ok in zip(kf_ids, live)
+        ])
+        rows = np.searchsorted(kf_ids, kf_arr)
+        good = live[rows]
+
+        xyz = self.pt_xyz[pids]
+        v = xyz[pid_idx] - centers[rows]
+        nv = np.linalg.norm(v, axis=1)
+        ok = good & (nv > 1e-9)
+        vn = np.where(ok[:, None], v / np.maximum(nv, 1e-9)[:, None], 0.0)
+        nsum = np.zeros((len(pids), 3))
+        np.add.at(nsum, pid_idx, vn)
+        cnt = np.zeros(len(pids))
+        np.add.at(cnt, pid_idx, ok.astype(np.float64))
+        has = cnt > 0
+        self.pt_normal[pids[has]] = (
+            nsum[has] / cnt[has, None]
+        ).astype(np.float32)
+
+        # scale band from the reference keyframe's observing feature level
+        ref = self.pt_ref_kf[pids]
+        sel = np.nonzero((kf_arr == ref[pid_idx]) & good)[0]
+        if len(sel) == 0:
+            return
+        lv = np.fromiter(
+            (self.keyframes[int(kf_arr[s])].level[ft_arr[s]] for s in sel),
+            np.int64, count=len(sel),
+        )
+        any_kf = self.keyframes[int(kf_ids[live][0])]
+        sf, n_levels = any_kf.scale_factor, any_kf.n_levels
+        tgt = pid_idx[sel]
+        dist = np.linalg.norm(xyz[tgt] - centers[rows[sel]], axis=1)
+        dmax = dist * sf ** lv
+        self.pt_dmax[pids[tgt]] = dmax.astype(np.float32)
+        self.pt_dmin[pids[tgt]] = (dmax / sf ** (n_levels - 1)).astype(np.float32)
+
+    def update_point_descriptors_batch(self, pids):
+        """Vectorized ComputeDistinctiveDescriptors: gather all observation
+        descriptors in one pass per observing keyframe, then process points
+        grouped by observation count (pairwise Hamming via unpacked bits)."""
+        pids = np.unique(np.asarray(pids, np.int64))
+        pids = pids[self.pt_valid[pids]] if len(pids) else pids
+        if len(pids) == 0:
+            return
+        pid_idx, kf_arr, ft_arr = self._observer_csr(pids)
+        if len(pid_idx) == 0:
+            return
+        live = np.fromiter((int(k) in self.keyframes for k in kf_arr),
+                           bool, count=len(kf_arr))
+        pid_idx, kf_arr, ft_arr = pid_idx[live], kf_arr[live], ft_arr[live]
+        descs = np.zeros((len(pid_idx), 8), np.uint32)
+        for k in np.unique(kf_arr):
+            sel = kf_arr == k
+            descs[sel] = self.keyframes[int(k)].desc[ft_arr[sel]]
+        counts = np.bincount(pid_idx, minlength=len(pids))
+        order = np.argsort(pid_idx, kind="stable")
+        descs = descs[order]
+        starts = np.zeros(len(pids) + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        for c in np.unique(counts):
+            if c == 0:
+                continue
+            which = np.nonzero(counts == c)[0]
+            if c == 1:
+                self.pt_desc[pids[which]] = descs[starts[which]]
+                continue
+            idx = starts[which][:, None] + np.arange(c)[None, :]
+            d = descs[idx]                                    # (n, c, 8)
+            bits = np.unpackbits(
+                d.view(np.uint8), axis=-1
+            ).reshape(len(which), c, 256)
+            ham = (bits[:, :, None, :] != bits[:, None, :, :]).sum(-1)
+            med = np.median(ham, axis=2)                      # (n, c)
+            best = np.argmin(med, axis=1)
+            self.pt_desc[pids[which]] = d[np.arange(len(which)), best]
 
     def predict_scale(self, pid_dist: np.ndarray, dmax: np.ndarray, scale_factor: float, n_levels: int) -> np.ndarray:
         """Vectorized MapPoint::PredictScale (src/MapPoint.cc:469)."""

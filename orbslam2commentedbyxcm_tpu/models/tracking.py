@@ -137,6 +137,40 @@ def project_and_match(
     return best_pt, best_d, ok, visible
 
 
+@functools.partial(jax.jit, static_argnames=("n_levels",))
+def match_and_optimize_step(
+    pt_xyz, pt_desc, pt_normal, pt_dmin, pt_dmax, pt_mask,
+    t_pred, feat_uv, feat_desc, feat_level, feat_valid,
+    existing_mask, existing_xyz,
+    obs, inv_sigma2,
+    fx, fy, cx, cy, width, height, bf,
+    radius_base, max_dist, log_scale, n_levels,
+    pt_angle=None, feat_angle=None,
+):
+    """ONE device program for a whole tracking stage: projection search +
+    motion-only pose optimization, fused so each stage costs a single
+    dispatch and a single device->host fetch (the reference pays two hot
+    loops here, SearchByProjection + PoseOptimization — SURVEY §3.2).
+
+    `existing_mask`/`existing_xyz` carry the frame's pre-existing map-point
+    assignments (keep_existing semantics): those features keep their world
+    point and always join the optimization."""
+    best_pt, best_d, ok, visible = project_and_match(
+        pt_xyz, pt_desc, pt_normal, pt_dmin, pt_dmax, pt_mask,
+        t_pred, feat_uv, feat_desc, feat_level, feat_valid,
+        fx, fy, cx, cy, width, height,
+        radius_base, max_dist, log_scale, n_levels,
+        pt_angle=pt_angle, feat_angle=feat_angle,
+    )
+    ok = ok & ~existing_mask
+    use = existing_mask | ok
+    pt_w = jnp.where(existing_mask[:, None], existing_xyz, pt_xyz[best_pt])
+    res = optim.pose_optimization(
+        t_pred, pt_w, obs, use, inv_sigma2, fx, fy, cx, cy, bf
+    )
+    return best_pt, ok, visible, res.t_cw, res.inliers, res.n_inliers
+
+
 class Tracking:
     def __init__(
         self,
@@ -455,17 +489,29 @@ class Tracking:
                 ne = min(len(extra[5]), cap - n)
                 ang[n:n + ne] = extra[5][:ne]
             angle_args = (jnp.asarray(ang), jnp.asarray(frame.angle))
-        best_pt, best_d, ok, visible = project_and_match(
+
+        # pre-existing assignments keep their world point (keep_existing)
+        existing_mask = (
+            frame.map_pt >= 0 if keep_existing
+            else np.zeros(frame.capacity, bool)
+        )
+        existing_xyz = np.zeros((frame.capacity, 3), np.float32)
+        if existing_mask.any():
+            existing_xyz[existing_mask] = self.map.pt_xyz[frame.map_pt[existing_mask]]
+
+        out = match_and_optimize_step(
             jnp.asarray(xyz), jnp.asarray(desc), jnp.asarray(normal),
             jnp.asarray(dmin), jnp.asarray(dmax), jnp.asarray(mask),
             jnp.asarray(t_pred), jnp.asarray(frame.uv_und), jnp.asarray(frame.desc),
             jnp.asarray(frame.level), jnp.asarray(frame.valid),
+            jnp.asarray(existing_mask), jnp.asarray(existing_xyz),
+            jnp.asarray(frame.stereo_obs()), jnp.asarray(frame.inv_sigma2()),
             cam.fx, cam.fy, cam.cx, cam.cy, float(cam.width), float(cam.height),
-            float(radius), float(max_dist), float(np.log(cfg.scale_factor)), cfg.n_levels,
-            *angle_args,
+            cam.bf,
+            float(radius), float(max_dist), float(np.log(cfg.scale_factor)),
+            cfg.n_levels, *angle_args,
         )
-        best_pt = np.asarray(best_pt)
-        ok = np.asarray(ok)
+        best_pt, ok, visible, t_cw, inliers, n_inl = jax.device_get(out)
 
         matched_pid = np.where(ok, slot_to_pid[best_pt], -1)
         if keep_existing:
@@ -473,29 +519,15 @@ class Tracking:
         frame.map_pt = matched_pid
 
         # visibility counters (reference mnVisible, src/Tracking.cc:1302-1334)
-        vis_slots = np.asarray(visible)
-        vis_pids = slot_to_pid[np.nonzero(vis_slots)[0]]
+        vis_pids = slot_to_pid[np.nonzero(visible)[0]]
         self.map.pt_visible[vis_pids[vis_pids >= 0]] += 1
 
-        # pose optimization over matched points (-2 slots = temporal VO points:
-        # they constrain the pose but are not map points)
-        real = matched_pid >= 0
-        temp = matched_pid == -2
-        matched = real | temp
+        # -2 slots = temporal VO points: they constrain the pose but are not
+        # map points
+        matched = (matched_pid >= 0) | (matched_pid == -2)
         if matched.sum() < 3:
             return 0, matched
-        best_pt_np = np.asarray(best_pt)
-        pt_w = np.zeros((frame.capacity, 3), np.float32)
-        pt_w[real] = self.map.pt_xyz[matched_pid[real]]
-        pt_w[temp] = xyz[best_pt_np[temp]]
-        obs = frame.stereo_obs()
-        res = optim.pose_optimization(
-            jnp.asarray(frame.t_cw), jnp.asarray(pt_w), jnp.asarray(obs),
-            jnp.asarray(matched), jnp.asarray(frame.inv_sigma2()),
-            cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
-        )
-        frame.set_pose(np.asarray(res.t_cw))
-        inliers = np.asarray(res.inliers)
+        frame.set_pose(t_cw)
         frame.map_pt = np.where(inliers, frame.map_pt, -1)
         frame.is_outlier = matched & ~inliers
         found_pids = frame.map_pt[frame.map_pt >= 0]
@@ -503,7 +535,7 @@ class Tracking:
         # real-map inlier count, excluding temporal VO points (reference
         # nmatchesMap, src/Tracking.cc:1010)
         self._last_n_map = int((frame.map_pt >= 0).sum())
-        return int(res.n_inliers), inliers
+        return int(n_inl), inliers
 
     def _update_last_frame_temporal(self):
         """Spawn temporal 3D points from the last frame's close stereo/RGB-D
@@ -540,8 +572,7 @@ class Tracking:
     def _track_with_motion_model(self, frame: Frame) -> bool:
         # resolve replaced points in last frame (CheckReplacedInLastFrame :819)
         lf = self.last_frame
-        for i in np.nonzero(lf.map_pt >= 0)[0]:
-            lf.map_pt[i] = self.map.resolve_replaced(int(lf.map_pt[i]))
+        lf.map_pt = self.map.resolve_replaced_batch(lf.map_pt)
         feats = np.nonzero(lf.map_pt >= 0)[0]
         pids, first = np.unique(lf.map_pt[feats], return_index=True)
         # per-point source angle for the orientation-consistency histogram
@@ -626,14 +657,17 @@ class Tracking:
 
     def _local_keyframes(self, frame: Frame, cap: int = 80) -> list[int]:
         """Covisibility expansion around the frame's matched points
-        (UpdateLocalKeyFrames, src/Tracking.cc:1391)."""
-        counter: dict[int, int] = {}
-        for pid in frame.map_pt[frame.map_pt >= 0]:
-            for kf_id in self.map.obs.get(int(pid), {}):
-                counter[kf_id] = counter.get(kf_id, 0) + 1
-        if not counter:
+        (UpdateLocalKeyFrames, src/Tracking.cc:1391). One vectorized CSR pass
+        over the observation index instead of a Python dict walk per point."""
+        pids = np.unique(frame.map_pt[frame.map_pt >= 0])
+        if len(pids) == 0:
             return []
-        local = sorted(counter, key=lambda k: -counter[k])[:cap]
+        _, kf_arr, _ = self.map._observer_csr(pids)
+        if len(kf_arr) == 0:
+            return []
+        kf_ids, counts = np.unique(kf_arr, return_counts=True)
+        order = np.argsort(-counts, kind="stable")
+        local = [int(kf_ids[i]) for i in order[:cap]]
         best = local[0]
         extra = []
         for kf_id in local[: cap // 2]:
@@ -727,8 +761,10 @@ class Tracking:
             if pid not in seen and self.map.pt_valid[pid]:
                 seen.add(pid)
                 self.map.add_observation(pid, kf.kf_id, int(i))
-                self.map.update_point_descriptor(pid)
-                self.map.update_point_normal_depth(pid)
+        if seen:
+            touched = np.fromiter(seen, np.int64)
+            self.map.update_point_descriptors_batch(touched)
+            self.map.update_points_batch(touched)
         if np.any(frame.depth > 0):
             self._spawn_depth_points(frame, kf)
         self.map.update_connections(kf)
