@@ -1,0 +1,148 @@
+"""Hard synthetic accuracy gauntlet — the no-egress stand-in for TUM/KITTI/EuRoC.
+
+The reference's validation story is long-sequence dataset evaluation
+(/root/reference/README.md:101-173; SURVEY.md §4). This environment has no
+dataset egress, so the gauntlet runs three 640x480 sequences of 1000+ frames
+with exact ground truth, perturbed by exposure drift and a moving occluder:
+
+  orbit  — loopy indoor orbit inside a textured box (1.3 turns): real drift
+           accumulation, then a genuine loop closure on return   [RGB-D]
+  forward— KITTI-like corridor run with heading weave            [stereo]
+  sway   — EuRoC-like hover: oscillating partial orbit revisiting
+           the same walls from drifting viewpoints               [RGB-D]
+
+Per sequence it records ATE RMSE (SE3-aligned), RPE, tracked fraction and
+loop-closure counts into a JSON report (and prints a summary table).
+
+Usage: python benchmarks/gauntlet.py [--frames 1000] [--cpu] [--seq name]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _augment(img, i, rng):
+    """Exposure drift + a moving occluding panel (GT unaffected: the occluder
+    simply hides features, mimicking dynamic foreground objects)."""
+    gain = 1.0 + 0.25 * float(np.sin(2 * np.pi * i / 310.0))
+    out = np.clip(img * gain + 8.0 * float(np.sin(2 * np.pi * i / 97.0)), 0, 255)
+    h, w = out.shape
+    ow = w // 6
+    x0 = int((np.sin(2 * np.pi * i / 450.0) * 0.5 + 0.5) * (w - ow))
+    y0 = int((np.cos(2 * np.pi * i / 530.0) * 0.5 + 0.5) * (h - ow))
+    out[y0:y0 + ow, x0:x0 + ow] = 40.0 + 20.0 * rng.random((ow, ow))
+    return out.astype(np.float32)
+
+
+def run_sequence(name, frames, augment=True):
+    from orbslam2commentedbyxcm_tpu.models.system import Sensor, System
+    from orbslam2commentedbyxcm_tpu.models.tracking import TrackingConfig
+    from orbslam2commentedbyxcm_tpu.utils.evaluation import (
+        ate_rmse, positions_from_tcw, rpe,
+    )
+    from orbslam2commentedbyxcm_tpu.utils.synth import BoxSequence, default_camera
+
+    cam = default_camera()
+    cfg = TrackingConfig(n_features=1000, max_frames_between_kf=8,
+                         kf_tracked_ratio=0.95, motion_search_radius=20.0)
+    if name == "orbit":
+        seq = BoxSequence(camera=cam, n_frames=frames, turns=1.3,
+                          half_size=8.0, radius=2.0)
+        sensor = Sensor.RGBD
+    elif name == "forward":
+        seq = BoxSequence(camera=cam, n_frames=frames, trajectory="line",
+                          half_size=12.0)
+        sensor = Sensor.STEREO
+    elif name == "sway":
+        seq = BoxSequence(camera=cam, n_frames=frames, trajectory="sway",
+                          turns=0.6, half_size=8.0, radius=2.0)
+        sensor = Sensor.RGBD
+    else:
+        raise ValueError(name)
+
+    system = System(cam, sensor, config=cfg, vocabulary="bootstrap",
+                    enable_loop_closing=True)
+    rng = np.random.default_rng(7)
+    results = []
+    t0 = time.perf_counter()
+    for i in range(frames):
+        img = seq.render(i)
+        if augment:
+            img = _augment(img, i, rng)
+        if sensor == Sensor.RGBD:
+            p = system.track_rgbd(img, seq.depth_map(i), i / 30.0)
+        else:
+            right = seq.render_right(i)
+            if augment:
+                right = _augment(right, i, rng)
+            p = system.track_stereo(img, right, i / 30.0)
+        results.append(p)
+    wall = time.perf_counter() - t0
+    system.shutdown()
+
+    traj = system.frame_trajectory()
+    est = np.stack([t for _, t in traj]) if traj else np.zeros((0, 4, 4))
+    gt = np.stack([seq.pose(int(round(ts * 30))) for ts, _ in traj]) if traj else est
+    ate = rpe_t = float("nan")
+    if len(est) > 10:
+        ate = ate_rmse(positions_from_tcw(est), positions_from_tcw(gt),
+                       with_scale=False)
+        rpe_t, _ = rpe(est, gt, delta=1)
+    # path length for drift-ratio context
+    gt_pos = positions_from_tcw(np.stack([seq.pose(i) for i in range(frames)]))
+    path_len = float(np.sum(np.linalg.norm(np.diff(gt_pos, axis=0), axis=1)))
+    lc = system.loop_closing
+    rec = {
+        "sequence": name,
+        "sensor": sensor.name,
+        "frames": frames,
+        "tracked": int(sum(p is not None for p in results)),
+        "ate_rmse_m": round(float(ate), 4),
+        "rpe_trans_m": round(float(rpe_t), 5),
+        "path_len_m": round(path_len, 2),
+        "drift_pct": round(100.0 * float(ate) / max(path_len, 1e-9), 3),
+        "loops_closed": 0 if lc is None else lc.n_loops_closed,
+        "keyframes": len(system.map.good_keyframes()),
+        "points": int(system.map.n_valid_points()),
+        "wall_s": round(wall, 1),
+    }
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=1000)
+    ap.add_argument("--seq", choices=("orbit", "forward", "sway"), default=None)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--no-augment", action="store_true")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    names = [args.seq] if args.seq else ["orbit", "forward", "sway"]
+    report = []
+    for name in names:
+        rec = run_sequence(name, args.frames, augment=not args.no_augment)
+        print(json.dumps(rec))
+        report.append(rec)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -83,12 +83,12 @@ def triangulate_and_check(
     src/LocalMapping.cc:373-503): parallax, cheirality, reprojection chi2
     (5.991 mono / 7.8 stereo), scale-distance consistency.
 
-    Source selection mirrors the reference (:415-460): triangulate only when
-    the motion parallax beats the stereo parallax cos(2*atan2(b/2, z)) of
-    both views (mono pairs additionally need cos < 0.9998); otherwise
-    unproject from whichever view has the better (closer) depth — a
-    low-parallax triangulation stretches points along the ray, while the
-    sensor depth is exact."""
+    Source selection mirrors the reference (:346-460) exactly, including its
+    else-if: the ray parallax is computed from the unprojected KEYPOINT ray
+    directions (before triangulation, so the gate is independent of DLT
+    noise, :346-354); when view 1 has depth its stereo parallax gates
+    triangulation and view 2's stays at cosParallaxRays+1 (so a both-stereo
+    pair always unprojects from view 1 when not triangulating, :356-361)."""
     p1 = t1[:3]  # (3, 4) world->cam1, normalized coords (K=I)
     p2 = t2[:3]
     pts_tri = twoview.triangulate(p1, p2, uv1n, uv2n)  # world frame
@@ -96,19 +96,25 @@ def triangulate_and_check(
     r1, o1 = t1[:3, :3], -t1[:3, :3].T @ t1[:3, 3]
     r2, o2 = t2[:3, :3], -t2[:3, :3].T @ t2[:3, 3]
 
-    ray1 = pts_tri - o1
-    ray2 = pts_tri - o2
+    # parallax from the unprojected keypoint rays (reference :346-354):
+    # world direction of pixel xn is R_wc @ [xn, 1]
+    ray1 = jnp.concatenate([uv1n, jnp.ones_like(uv1n[:, :1])], axis=1) @ r1
+    ray2 = jnp.concatenate([uv2n, jnp.ones_like(uv2n[:, :1])], axis=1) @ r2
     cos_par = jnp.sum(ray1 * ray2, axis=-1) / jnp.maximum(
         jnp.linalg.norm(ray1, axis=-1) * jnp.linalg.norm(ray2, axis=-1), 1e-12
     )
 
     stereo1 = depth1 > 0
     stereo2 = depth2 > 0
+    # reference else-if (:356-361): view 2's stereo parallax participates
+    # only when view 1 has no depth; otherwise it stays at cos_par + 1
     cos_st1 = jnp.where(
-        stereo1, jnp.cos(2.0 * jnp.arctan2(baseline / 2.0, depth1)), 1.1
+        stereo1, jnp.cos(2.0 * jnp.arctan2(baseline / 2.0, depth1)),
+        cos_par + 1.0,
     )
     cos_st2 = jnp.where(
-        stereo2, jnp.cos(2.0 * jnp.arctan2(baseline / 2.0, depth2)), 1.1
+        (~stereo1) & stereo2, jnp.cos(2.0 * jnp.arctan2(baseline / 2.0, depth2)),
+        cos_par + 1.0,
     )
     cos_st = jnp.minimum(cos_st1, cos_st2)
 
@@ -530,6 +536,12 @@ class LocalMapping:
             t_cap = _bucket(len(t_list), 4)
             pad = t_cap - len(t_list)
             t0 = t_list[0]
+            # the vmapped call broadcasts t0's pyramid config to every target
+            # (ADVICE r2): guard against mixed extractor configs
+            assert all(
+                t.n_levels == t0.n_levels and t.scale_factor == t0.scale_factor
+                for t in t_list
+            ), "fuse targets must share one extractor pyramid config"
             t_cw = np.stack([t.t_cw for t in t_list] + [np.eye(4, dtype=np.float32)] * pad)
             uv = np.stack([t.uv_und for t in t_list] + [np.zeros_like(t0.uv_und)] * pad)
             dsc = np.stack([t.desc for t in t_list] + [np.zeros_like(t0.desc)] * pad)

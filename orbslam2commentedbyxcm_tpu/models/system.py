@@ -121,6 +121,7 @@ class System:
             # utils/vocab_tools.py provides offline training/saving here)
             self.local_mapping.loop_closer = _LazyVocabTrainer(self)
         self.tracking = Tracking(camera, self.extractor, self.map, self.local_mapping, self.cfg)
+        self.tracking.vocabulary = self.vocabulary
 
     def _wire_place_recognition(self):
         from orbslam2commentedbyxcm_tpu.models.keyframe_database import KeyFrameDatabase
@@ -142,6 +143,8 @@ class System:
         self.local_mapping.relocalizer = Relocalizer(
             self.map, self.camera, keyframe_db=self.keyframe_db, vocabulary=self.vocabulary
         )
+        if getattr(self, "tracking", None) is not None:
+            self.tracking.vocabulary = self.vocabulary
 
     def train_vocabulary_from_map(self, k: int = 8, depth: int = 3):
         """Train a vocabulary on the map's own keyframe descriptors and wire

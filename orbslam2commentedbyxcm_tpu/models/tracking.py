@@ -185,6 +185,9 @@ class Tracking:
         self.map = world_map
         self.local_mapper = local_mapper
         self.cfg = config or TrackingConfig()
+        # set by System once place recognition is wired (the reference hands
+        # Tracking the ORBVocabulary in its constructor, src/Tracking.cc:54)
+        self.vocabulary = None
 
         self.state = TrackingState.NOT_INITIALIZED
         self.last_frame: Frame | None = None
@@ -614,7 +617,7 @@ class Tracking:
         return n >= self.cfg.min_track_inliers
 
     def _track_ref_kf_bow(self, frame: Frame, kf) -> bool:
-        voc = getattr(getattr(self.local_mapper, "relocalizer", None), "voc", None)
+        voc = self.vocabulary
         if voc is None or kf.bow_feat_nodes is None:
             return False
         from orbslam2commentedbyxcm_tpu.ops import bow

@@ -159,6 +159,10 @@ class BoxSequence:
     turns: float = 1.0          # fraction of full revolutions
     seed: int = 0
     tex_size: int = 1024
+    # orbit: circle looking outward (loopy indoor, default)
+    # line:  straight run along +z looking forward (KITTI-like corridor)
+    # sway:  oscillating partial orbit, revisiting repeatedly (EuRoC-like hover)
+    trajectory: str = "orbit"
 
     def __post_init__(self):
         if cv2 is None:
@@ -180,10 +184,23 @@ class BoxSequence:
 
     def pose(self, i: int) -> np.ndarray:
         t = i / max(self.n_frames - 1, 1)
-        theta = 2 * np.pi * self.turns * t
-        c = self.radius * np.array([np.sin(theta), 0.0, np.cos(theta)])
-        c[1] = 0.1 * np.sin(4 * np.pi * t)  # slight vertical bob
-        # camera looks outward: +z axis of camera = (sin, 0, cos)
+        if self.trajectory == "line":
+            # forward run along +z toward the far wall, gentle lateral weave
+            z0, z1 = -0.6 * self.half_size, 0.5 * self.half_size
+            c = np.array([0.25 * np.sin(4 * np.pi * t), 0.0, z0 + (z1 - z0) * t])
+            c[1] = 0.05 * np.sin(6 * np.pi * t)
+            theta = 0.08 * np.sin(3 * np.pi * t)  # slight heading weave
+        elif self.trajectory == "sway":
+            # oscillating partial orbit: the same walls are revisited many
+            # times from nearby-but-drifting viewpoints (hover-and-return)
+            theta = (np.pi * self.turns) * np.sin(2 * np.pi * 2.5 * t)
+            c = self.radius * np.array([np.sin(theta), 0.0, np.cos(theta)])
+            c[1] = 0.15 * np.sin(5 * np.pi * t)
+        else:  # orbit
+            theta = 2 * np.pi * self.turns * t
+            c = self.radius * np.array([np.sin(theta), 0.0, np.cos(theta)])
+            c[1] = 0.1 * np.sin(4 * np.pi * t)  # slight vertical bob
+        # camera +z axis = (sin theta, 0, cos theta)
         cy, sy = np.cos(theta), np.sin(theta)
         r_wc = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], np.float64)
         t_cw = np.eye(4, dtype=np.float32)
@@ -192,9 +209,18 @@ class BoxSequence:
         return t_cw
 
     def render(self, i: int) -> np.ndarray:
+        return self.render_pose(self.pose(i))
+
+    def render_right(self, i: int) -> np.ndarray:
+        """Right-stereo view: camera displaced by baseline b along +x."""
+        t_rl = np.eye(4, dtype=np.float64)
+        t_rl[0, 3] = -self.camera.b
+        return self.render_pose(t_rl @ self.pose(i).astype(np.float64))
+
+    def render_pose(self, t_cw: np.ndarray) -> np.ndarray:
         cam = self.camera
         k = cam.K.astype(np.float64)
-        t_cw = self.pose(i).astype(np.float64)
+        t_cw = np.asarray(t_cw, np.float64)
         r, t = t_cw[:3, :3], t_cw[:3, 3]
         img = np.full((cam.height, cam.width), -1.0, np.float32)
         s, h = self.tex_scale, self.half_size
