@@ -280,6 +280,23 @@ def optimize_pose_graph_cg(
     if edge_weight is not None:
         w_e = w_e * edge_weight
 
+    n_edges = edge_i.shape[0]
+    # Accumulation strategy for the per-CG-iteration J^T(Jx) reduction: TPU
+    # serializes the scatter lowering of .at[].add, and the matvec runs
+    # ~100x per LM iteration — route it through {0,1}-incidence matmuls
+    # (2 x (K, E) f32, exact) whenever that buffer fits comfortably in HBM.
+    use_onehot = k * n_edges <= (1 << 24)  # 2 x 64 MB f32 at the limit
+    if use_onehot:
+        oh_i = (edge_i[None, :] == jnp.arange(k)[:, None]).astype(jnp.float32)
+        oh_j = (edge_j[None, :] == jnp.arange(k)[:, None]).astype(jnp.float32)
+
+    def scatter7(vals_i, vals_j):
+        """(E, C) per-edge contributions -> (K, C) vertex sums."""
+        if use_onehot:
+            return oh_i @ vals_i + oh_j @ vals_j
+        out = jnp.zeros((k, vals_i.shape[1]), jnp.float32)
+        return out.at[edge_i].add(vals_i).at[edge_j].add(vals_j)
+
     def eval_point(p):
         """-> (cost, (J_i, J_j), g (K,7), block-diag (K,7,7))."""
         r, (j_i, j_j) = _res_and_jac(p[edge_i], p[edge_j], edge_meas)
@@ -287,13 +304,15 @@ def optimize_pose_graph_cg(
         j_i = j_i * (free[edge_i] * w_e)[:, None, None]
         j_j = j_j * (free[edge_j] * w_e)[:, None, None]
         r_w = r * w_e[:, None]
-        g = jnp.zeros((k, 7), jnp.float32)
-        g = g.at[edge_i].add(jnp.einsum("eri,er->ei", j_i, r_w))
-        g = g.at[edge_j].add(jnp.einsum("eri,er->ei", j_j, r_w))
+        g = scatter7(
+            jnp.einsum("eri,er->ei", j_i, r_w),
+            jnp.einsum("eri,er->ei", j_j, r_w),
+        )
         b_ii = jnp.einsum("eri,erj->eij", j_i, j_i)
         b_jj = jnp.einsum("eri,erj->eij", j_j, j_j)
-        bdiag = jnp.zeros((k, 7, 7), jnp.float32)
-        bdiag = bdiag.at[edge_i].add(b_ii).at[edge_j].add(b_jj)
+        bdiag = scatter7(
+            b_ii.reshape(n_edges, 49), b_jj.reshape(n_edges, 49)
+        ).reshape(k, 7, 7)
         return err, (j_i, j_j), g, bdiag
 
     def matvec(jac, x, lam, dvec):
@@ -302,9 +321,10 @@ def optimize_pose_graph_cg(
         y = jnp.einsum("eri,ei->er", j_i, x[edge_i]) + jnp.einsum(
             "eri,ei->er", j_j, x[edge_j]
         )
-        out = jnp.zeros((k, 7), jnp.float32)
-        out = out.at[edge_i].add(jnp.einsum("eri,er->ei", j_i, y))
-        out = out.at[edge_j].add(jnp.einsum("eri,er->ei", j_j, y))
+        out = scatter7(
+            jnp.einsum("eri,er->ei", j_i, y),
+            jnp.einsum("eri,er->ei", j_j, y),
+        )
         return out + (lam * dvec + 1e-8) * x + (1.0 - free)[:, None] * x
 
     def pcg(jac, b, lam, dvec, minv):
