@@ -186,28 +186,51 @@ def triangulate_and_check(
     return pts, good
 
 
-# Batched-over-neighbors variants: LocalMapping stacks the (<= 10) covisible
-# neighbors of the new keyframe and runs ONE device program per stage instead
-# of 2 dispatches per neighbor — per-dispatch latency (RPC on hosted devices,
-# ~50-100 us even direct-attached) otherwise dominates the mapping stage. The
-# keyframe-side arguments are broadcast (in_axes=None), the neighbor side is
-# batched.
-epipolar_match_neighbors = jax.jit(
-    jax.vmap(
-        epipolar_match,
-        in_axes=(None, None, None, None, 0, 0, 0, 0, 0, 0, 0, None),
-    )
-)
+# The whole mapping triangulation stage runs as ONE device program over the
+# stacked (<= 10) covisible neighbors — per-dispatch latency (RPC on hosted
+# devices, ~50-100 us even direct-attached) otherwise dominates the mapping
+# stage. The keyframe-side arguments are broadcast (in_axes=None), the
+# neighbor side is batched, and the match->triangulation gathers stay on
+# device.
+@jax.jit
+def mapping_triangulate_fused(
+    kf_desc, kf_uv, kf_level, kf_free, kf_t, kf_ur, kf_depth, kf_sig2, kf_scale,
+    desc2, uv2_all, level2, free2, f12_b, sig2_b, epi_b, t2_b, ur2_all, d2_all,
+    kinv, scale_factor, max_dist, fx, fy, cx, cy, bf, baseline,
+):
+    """The whole triangulation stage as ONE device program: epipolar matching
+    over the stacked neighbor batch, device-side gathers of the matched
+    neighbor attributes, then batched DLT + acceptance gates — one dispatch
+    and one fetch per keyframe insertion instead of two of each with a host
+    gather in between."""
+    best, bd, ok = jax.vmap(
+        epipolar_match, in_axes=(None,) * 4 + (0,) * 7 + (None,)
+    )(kf_desc, kf_uv, kf_level, kf_free, desc2, uv2_all, level2, free2,
+      f12_b, sig2_b, epi_b, max_dist)
 
-triangulate_and_check_neighbors = jax.jit(
-    jax.vmap(
-        triangulate_and_check,
-        in_axes=(
-            None, 0, None, 0, None, 0, None, 0, None, 0, 0,
-            None, 0, None, 0, None, None, None, None, None, None,
-        ),
+    def take(arr):  # (B, N) gathered at the matched neighbor feature
+        return jnp.take_along_axis(arr, best, axis=1)
+
+    uv2 = jnp.take_along_axis(
+        uv2_all, best[..., None].astype(jnp.int32), axis=1
     )
-)
+    ur2, d2, sig2g = take(ur2_all), take(d2_all), take(sig2_b)
+    scale2 = scale_factor ** take(level2).astype(jnp.float32)
+
+    def norm(uv):
+        x = jnp.concatenate([uv, jnp.ones_like(uv[..., :1])], axis=-1)
+        xn = x @ kinv.T
+        return xn[..., :2] / xn[..., 2:3]
+
+    pts, good = jax.vmap(
+        triangulate_and_check,
+        in_axes=(None, 0, None, 0, None, 0, None, 0, None, 0, 0,
+                 None, 0, None, 0) + (None,) * 6,
+    )(kf_t, t2_b, norm(kf_uv), norm(uv2), kf_uv, uv2, kf_ur, ur2,
+      kf_depth, d2, ok, kf_sig2, sig2g, kf_scale, scale2,
+      fx, fy, cx, cy, bf, baseline)
+    return best, ok, pts, good
+
 
 # vmap-over-targets SearchInNeighbors forward pass, cached per pyramid depth
 # (n_levels is a static arg of the inner jitted program)
@@ -362,7 +385,6 @@ class LocalMapping:
         # programs compile once; padding slots have free2 = all-False
         b_cap = self.n_tri_neighbors
         nb0 = nbs[0]
-        n_feat = len(nb0.desc)
 
         def stack(get, pad_value, dtype):
             arrs = [get(nb) for nb in nbs]
@@ -376,59 +398,26 @@ class LocalMapping:
         f12_b = np.stack(f12s + [np.eye(3, dtype=np.float32)] * (b_cap - len(nbs)))
         sig2_b = stack(lambda nb: sigma2[nb.level], 1.0, np.float32)
         epi_b = np.stack(epipoles + [np.zeros(2, np.float32)] * (b_cap - len(nbs)))
+        t2_b = stack(lambda nb: nb.t_cw, 0, np.float32)
+        ur2_all = stack(lambda nb: nb.u_right, -1.0, np.float32)
+        d2_all = stack(lambda nb: nb.depth, -1.0, np.float32)
 
         free_kf = (kf.map_pt < 0) & kf.valid
-        best, bd, ok = epipolar_match_neighbors(
+        best, ok, pts, good = mapping_triangulate_fused(
             jnp.asarray(kf.desc), jnp.asarray(kf.uv_und), jnp.asarray(kf.level),
-            jnp.asarray(free_kf),
-            jnp.asarray(desc2), jnp.asarray(uv2_all), jnp.asarray(level2),
-            jnp.asarray(free2),
-            jnp.asarray(f12_b), jnp.asarray(sig2_b), jnp.asarray(epi_b),
-            float(matching.TH_LOW),
-        )
-        best, ok = np.asarray(best), np.asarray(ok)  # (B, N)
-        if ok.sum() == 0:
-            self.map.update_connections(kf)
-            return
-
-        def norm(uv):
-            flat = uv.reshape(-1, 2)
-            x = np.concatenate([flat, np.ones((len(flat), 1), np.float32)], 1) @ kinv.T
-            return (x[:, :2] / x[:, 2:3]).astype(np.float32).reshape(uv.shape)
-
-        nb_idx = np.arange(b_cap)
-        uv1 = kf.uv_und
-        uv2 = np.stack([uv2_all[b][best[b]] for b in nb_idx])
-        t2_b = stack(lambda nb: nb.t_cw, 0, np.float32)
-        ur2 = np.stack(
-            [(nbs[b].u_right[best[b]] if b < len(nbs) else np.full(n_feat, -1.0))
-             for b in nb_idx]
-        ).astype(np.float32)
-        d2 = np.stack(
-            [(nbs[b].depth[best[b]] if b < len(nbs) else np.full(n_feat, -1.0))
-             for b in nb_idx]
-        ).astype(np.float32)
-        sig2_g = np.stack([sig2_b[b][best[b]] for b in nb_idx]).astype(np.float32)
-        scale2 = np.stack(
-            [(nbs[b].scale_factor ** nbs[b].level[best[b]]
-              if b < len(nbs) else np.ones(n_feat))
-             for b in nb_idx]
-        ).astype(np.float32)
-
-        pts, good = triangulate_and_check_neighbors(
-            jnp.asarray(kf.t_cw), jnp.asarray(t2_b),
-            jnp.asarray(norm(uv1)), jnp.asarray(norm(uv2)),
-            jnp.asarray(uv1), jnp.asarray(uv2),
-            jnp.asarray(kf.u_right), jnp.asarray(ur2),
-            jnp.asarray(kf.depth), jnp.asarray(d2),
-            jnp.asarray(ok),
+            jnp.asarray(free_kf), jnp.asarray(kf.t_cw),
+            jnp.asarray(kf.u_right), jnp.asarray(kf.depth),
             jnp.asarray(sigma2[kf.level].astype(np.float32)),
-            jnp.asarray(sig2_g),
             jnp.asarray((kf.scale_factor ** kf.level).astype(np.float32)),
-            jnp.asarray(scale2),
+            jnp.asarray(desc2), jnp.asarray(uv2_all), jnp.asarray(level2),
+            jnp.asarray(free2), jnp.asarray(f12_b), jnp.asarray(sig2_b),
+            jnp.asarray(epi_b), jnp.asarray(t2_b), jnp.asarray(ur2_all),
+            jnp.asarray(d2_all),
+            jnp.asarray(kinv.astype(np.float32)), float(kf.scale_factor),
+            float(matching.TH_LOW),
             cam.fx, cam.fy, cam.cx, cam.cy, cam.bf, cam.b,
         )
-        pts, good = np.asarray(pts), np.asarray(good)  # (B, N, 3), (B, N)
+        best, ok, pts, good = jax.device_get((best, ok, pts, good))
         created = []
         for b, nb in enumerate(nbs):
             for i in np.nonzero(good[b])[0]:
