@@ -72,7 +72,7 @@ def _check(seq, system, results, ate_gate):
 
 
 def test_rgbd_tracks_with_true_scale(rgbd_run):
-    _check(*rgbd_run, ate_gate=0.08)
+    _check(*rgbd_run, ate_gate=0.05)
 
 
 def test_rgbd_map_has_depth_points(rgbd_run):
@@ -89,7 +89,7 @@ def test_rgbd_map_has_depth_points(rgbd_run):
 
 
 def test_stereo_tracks_with_true_scale(stereo_run):
-    _check(*stereo_run, ate_gate=0.10)
+    _check(*stereo_run, ate_gate=0.06)
 
 
 def test_stereo_disparity_accuracy(stereo_run):
