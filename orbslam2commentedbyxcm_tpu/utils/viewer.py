@@ -11,9 +11,14 @@ file watcher, or assembled into a video).
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 import numpy as np
+
+
+def _null_ctx():
+    return contextlib.nullcontext()
 
 
 def save_map_plot(system, path: str, gt_positions=None):
@@ -109,9 +114,15 @@ class MapDrawer:
 
 class Viewer:
     """Periodic renderer (reference src/Viewer.cc render loop at ~30 fps —
-    here: every `every` tracked frames, write map + frame PNGs to out_dir)."""
+    here: every `every` tracked frames, write map + frame PNGs to out_dir).
 
-    def __init__(self, system, out_dir: str, every: int = 30):
+    With `threaded=True` rendering runs on its own worker thread (the
+    reference's Viewer thread, spawned src/System.cc:121): `update` only
+    enqueues, renders that can't keep up are dropped, and the worker takes
+    the system's map lock while reading shared state."""
+
+    def __init__(self, system, out_dir: str, every: int = 30,
+                 threaded: bool = False):
         self.system = system
         self.out_dir = out_dir
         self.every = max(1, every)
@@ -119,6 +130,17 @@ class Viewer:
         self.map_drawer = MapDrawer(system)
         self._count = 0
         os.makedirs(out_dir, exist_ok=True)
+        self._queue = None
+        self._thread = None
+        if threaded:
+            import queue
+            import threading
+
+            self._queue = queue.Queue(maxsize=2)
+            self._thread = threading.Thread(
+                target=self._run, daemon=True, name="viewer"
+            )
+            self._thread.start()
 
     def update(self, frame, image=None):
         """Call once per tracked frame (the reference wires FrameDrawer::Update
@@ -126,8 +148,33 @@ class Viewer:
         self.frame_drawer.update(frame, image)
         self._count += 1
         if self._count % self.every == 0:
-            self.map_drawer.draw(os.path.join(self.out_dir, f"map_{self._count:06d}.png"))
-            self.frame_drawer.draw(os.path.join(self.out_dir, f"frame_{self._count:06d}.png"))
+            if self._queue is not None:
+                try:
+                    self._queue.put_nowait(self._count)
+                except Exception:
+                    pass  # renderer busy: drop this render, never block tracking
+            else:
+                self._render(self._count)
+
+    def _render(self, count: int):
+        lock = getattr(self.system, "map_lock", None)
+        ctx = lock if (lock is not None and self._thread is not None) else _null_ctx()
+        with ctx:
+            self.map_drawer.draw(os.path.join(self.out_dir, f"map_{count:06d}.png"))
+            self.frame_drawer.draw(os.path.join(self.out_dir, f"frame_{count:06d}.png"))
+
+    def _run(self):
+        while True:
+            c = self._queue.get()
+            if c is None:
+                return
+            self._render(c)
+
+    def shutdown(self):
+        """Join the render worker (reference Viewer::RequestFinish)."""
+        if self._thread is not None and self._thread.is_alive():
+            self._queue.put(None)
+            self._thread.join(timeout=60)
 
 
 def save_frame_overlay(frame, path: str, image=None, title_suffix: str = ""):
