@@ -94,3 +94,52 @@ class AsyncMapping:
         if self._thread.is_alive():
             self._queue.put(None)
             self._thread.join(timeout=300)
+
+
+class AsyncLoopClosing:
+    """LoopClosing on its own worker thread (reference src/System.cc:105-111):
+    the mapping stage hands finished keyframes to this queue and returns
+    immediately, so place recognition / Sim3 / correction never stall the
+    mapping worker. The worker holds the map lock while mutating; a loop
+    correction's global BA still runs on the separate transient GBA thread."""
+
+    _OWN = {"inner", "lock", "_queue", "_thread"}
+
+    def __init__(self, inner, map_lock: threading.Lock):
+        object.__setattr__(self, "inner", inner)
+        object.__setattr__(self, "lock", map_lock)
+        object.__setattr__(self, "_queue", queue.Queue())
+        t = threading.Thread(target=self._run, daemon=True, name="loop-closing")
+        object.__setattr__(self, "_thread", t)
+        t.start()
+
+    def __getattr__(self, k):
+        return getattr(self.inner, k)
+
+    def __setattr__(self, k, v):
+        if k in AsyncLoopClosing._OWN:
+            object.__setattr__(self, k, v)
+        else:
+            setattr(self.inner, k, v)
+
+    def _run(self):
+        while True:
+            kf_id = self._queue.get()
+            try:
+                if kf_id is None:
+                    return
+                with self.lock:
+                    self.inner.insert_keyframe(kf_id)
+            finally:
+                self._queue.task_done()
+
+    def insert_keyframe(self, kf_id: int):
+        self._queue.put(kf_id)
+
+    def wait_idle(self):
+        self._queue.join()
+
+    def shutdown(self):
+        if self._thread.is_alive():
+            self._queue.put(None)
+            self._thread.join(timeout=300)

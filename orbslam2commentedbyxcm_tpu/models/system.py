@@ -93,6 +93,8 @@ class System:
         import threading
 
         self.map_lock = threading.Lock()
+        self._async_mapping = async_mapping
+        self._loop_worker = None
         if vocabulary == "bootstrap":
             from orbslam2commentedbyxcm_tpu.ops import bow as _bow
 
@@ -137,7 +139,17 @@ class System:
                 vocabulary=self.vocabulary, fix_scale=fix_scale,
                 map_lock=self.map_lock,
             )
-            self.local_mapping.loop_closer = self.loop_closing
+            # in the async pipeline, loop closing gets its OWN worker thread
+            # (reference spawns it separately, src/System.cc:105-111)
+            if self._async_mapping:
+                from orbslam2commentedbyxcm_tpu.models.async_pipeline import (
+                    AsyncLoopClosing,
+                )
+
+                self._loop_worker = AsyncLoopClosing(self.loop_closing, self.map_lock)
+                self.local_mapping.loop_closer = self._loop_worker
+            else:
+                self.local_mapping.loop_closer = self.loop_closing
         else:
             self.local_mapping.loop_closer = _DbOnlyRegistrar(self)
         self.local_mapping.relocalizer = Relocalizer(
@@ -267,6 +279,8 @@ class System:
         wait = getattr(self.local_mapping, "wait_idle", None)
         if wait is not None:
             wait()
+        if self._loop_worker is not None:
+            self._loop_worker.wait_idle()
         if self.loop_closing is not None and self.loop_closing.gba is not None:
             self.loop_closing.gba.wait()
 
@@ -328,6 +342,8 @@ class System:
         stop = getattr(self.local_mapping, "shutdown", None)
         if stop is not None:
             stop()
+        if self._loop_worker is not None:
+            self._loop_worker.shutdown()
 
     # -- map checkpoint / restore (reference SaveMap/LoadMap TODO,
     #    include/System.h:104-106 — implemented here) ----------------------

@@ -170,3 +170,32 @@ def test_pending_work_defers_fuse_and_ba(mapped_system):
     finally:
         lm.fuse_neighbors, lm.local_bundle_adjustment = orig_fuse, orig_ba
         lm.pending_check = None
+
+
+def test_async_pipeline_loop_closure_overlaps_tracking():
+    """Full 3-worker pipeline (tracking / mapping / loop closing + transient
+    GBA): the loop closes while tracking keeps processing frames — frames are
+    tracked WHILE global BA is in flight (reference thread model,
+    src/System.cc:98-111 + the GBA thread :634)."""
+    cam = Camera(fx=250.0, fy=250.0, cx=160.0, cy=120.0, width=320, height=240,
+                 bf=20.0, th_depth=50.0)
+    seq = BoxSequence(camera=cam, n_frames=130, turns=1.3)
+    cfg = TrackingConfig(n_features=600, max_frames_between_kf=4,
+                         kf_tracked_ratio=0.95, motion_search_radius=20.0)
+    system = System(cam, Sensor.RGBD, config=cfg, enable_loop_closing=True,
+                    async_mapping=True)
+    tracked = 0
+    frames_during_gba = 0
+    for i in range(seq.n_frames):
+        p = system.track_rgbd(seq.render(i), seq.depth_map(i), i / 30.0)
+        tracked += p is not None
+        lc = system.loop_closing
+        if lc is not None and lc.gba is not None and lc.gba.running():
+            frames_during_gba += 1
+    system.shutdown()
+    lc = system.loop_closing
+    assert lc is not None and lc.n_loops_closed >= 1, (lc and lc.stats)
+    assert tracked >= seq.n_frames - 15
+    # the GBA solve overlapped live tracking (0 would mean it ran inline)
+    assert frames_during_gba >= 1
+    assert lc.gba.n_completed + lc.gba.n_aborted >= 1
