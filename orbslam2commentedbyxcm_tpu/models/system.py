@@ -130,6 +130,10 @@ class System:
         from orbslam2commentedbyxcm_tpu.models.loop_closing import LoopClosing
         from orbslam2commentedbyxcm_tpu.models.relocalization import Relocalizer
 
+        # re-wiring (load_map / lazy vocab training): retire the old worker
+        if self._loop_worker is not None:
+            self._loop_worker.shutdown()
+            self._loop_worker = None
         self.keyframe_db = KeyFrameDatabase(self.vocabulary)
         self.map.erase_hooks.append(self.keyframe_db.erase)
         fix_scale = self.sensor != Sensor.MONOCULAR
