@@ -31,11 +31,19 @@ def main():
                     help="mapping on a worker thread (the reference's threading)")
     args = ap.parse_args()
 
+    import jax
+
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
-        import jax
-
         jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache: repeat runs skip the 15-40s XLA compiles that
+    # otherwise dominate p95 (bucketed shapes recompile as the map grows)
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_BENCH_CACHE", "/tmp/orbslam2_tpu_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
     import numpy as np
 
