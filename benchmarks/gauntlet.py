@@ -74,18 +74,32 @@ def run_sequence(name, frames, augment=True):
     rng = np.random.default_rng(7)
     results = []
     t0 = time.perf_counter()
+    t_render = 0.0
     for i in range(frames):
+        tr = time.perf_counter()
         img = seq.render(i)
         if augment:
             img = _augment(img, i, rng)
         if sensor == Sensor.RGBD:
-            p = system.track_rgbd(img, seq.depth_map(i), i / 30.0)
+            aux = seq.depth_map(i)
         else:
-            right = seq.render_right(i)
+            aux = seq.render_right(i)
             if augment:
-                right = _augment(right, i, rng)
-            p = system.track_stereo(img, right, i / 30.0)
+                aux = _augment(aux, i, rng)
+        t_render += time.perf_counter() - tr
+        if sensor == Sensor.RGBD:
+            p = system.track_rgbd(img, aux, i / 30.0)
+        else:
+            p = system.track_stereo(img, aux, i / 30.0)
         results.append(p)
+        if (i + 1) % 100 == 0:
+            lc = system.loop_closing
+            print(f"[{name}] {i + 1}/{frames} "
+                  f"wall={time.perf_counter() - t0:.0f}s render={t_render:.0f}s "
+                  f"kfs={len(system.map.good_keyframes())} "
+                  f"pts={system.map.n_valid_points()} "
+                  f"loops={0 if lc is None else lc.n_loops_closed}",
+                  file=sys.stderr, flush=True)
     wall = time.perf_counter() - t0
     system.shutdown()
 
@@ -127,11 +141,17 @@ def main():
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
+    import jax
+
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
-        import jax
-
         jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_BENCH_CACHE", "/tmp/orbslam2_tpu_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
     names = [args.seq] if args.seq else ["orbit", "forward", "sway"]
     report = []
