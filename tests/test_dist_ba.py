@@ -11,6 +11,7 @@ from tests.test_optim import make_ba_problem, pose_err, FX, FY, CX, CY, BF
 
 
 @pytest.mark.parametrize("n_dev", [1, 4, 8])
+@pytest.mark.slow  # multi-shard solves: system tier
 def test_dist_ba_matches_single_device(rng, n_dev):
     if len(jax.devices()) < n_dev:
         pytest.skip("not enough devices")
@@ -98,6 +99,7 @@ def test_dist_matches_dense_result(rng):
 
 
 @pytest.mark.parametrize("n_dev", [1, 8])
+@pytest.mark.slow  # multi-shard solves: system tier
 def test_cg_variant_matches_dense_solver(rng, n_dev):
     """Matrix-free Schur-CG BA reaches the same optimum as the dense path."""
     if len(jax.devices()) < n_dev:
@@ -145,6 +147,7 @@ def test_cg_variant_matches_dense_solver(rng, n_dev):
     assert np.median(np.linalg.norm(out_pts - pts, axis=-1)) < 0.08
 
 
+@pytest.mark.slow  # multi-shard solves: system tier
 def test_cg_variant_with_stereo_and_invalid_edges(rng):
     """CG path handles mixed mono/stereo edges, masked edges, fixed poses."""
     if len(jax.devices()) < 4:
@@ -177,6 +180,7 @@ def test_cg_variant_with_stereo_and_invalid_edges(rng):
         assert pose_err(out_poses[i], poses[i]) < 0.02
 
 
+@pytest.mark.slow  # multi-shard solves: system tier
 def test_hybrid_dcn_ici_mesh(rng):
     """Distributed BA over a 2x4 ('dcn', 'ici') hybrid mesh — the multi-host
     layout from parallel/multihost — converges to the same optimum as flat."""

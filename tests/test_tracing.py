@@ -4,6 +4,7 @@ prints) and the prefetching dataset loader."""
 import json
 
 import numpy as np
+import pytest
 
 from orbslam2commentedbyxcm_tpu.models.system import Sensor, System
 from orbslam2commentedbyxcm_tpu.models.tracking import TrackingConfig
@@ -12,6 +13,7 @@ from orbslam2commentedbyxcm_tpu.utils.synth import SyntheticSequence
 from orbslam2commentedbyxcm_tpu.utils.tracing import Tracer
 
 
+@pytest.mark.slow  # full-System run: system tier
 def test_tracer_records_frames_and_spans(tmp_path):
     cam = Camera(fx=250.0, fy=250.0, cx=160.0, cy=120.0, width=320, height=240, bf=20.0)
     seq = SyntheticSequence(camera=cam, n_frames=30, trajectory="sideways")
