@@ -1,47 +1,48 @@
-"""Asynchronous mapping pipeline — the reference's thread parallelism.
+"""Asynchronous pipeline stages — the reference's thread parallelism.
 
 The reference runs LocalMapping and LoopClosing on their own std::threads
 (spawned in src/System.cc:98-111) with a keyframe queue capped at 3
 (src/Tracking.cc:1173) and the map-wide `Map::mMutexMapUpdate` serializing
 Tracking against map mutation (include/Map.h:114, held for the whole
-`Track()`, src/Tracking.cc:343). `AsyncMapping` reproduces that structure
+`Track()`, src/Tracking.cc:343). The wrappers here reproduce that structure
 host-side:
 
-  * one worker thread drains a keyframe queue and runs the wrapped
-    LocalMapping stage (which chains into LoopClosing, like the reference's
-    LocalMapping::Run -> LoopClosing::InsertKeyFrame handoff);
-  * the caller (System) holds `map_lock` during Tracking's map section, the
-    worker holds it during mapping — so ORB extraction / stereo matching
-    (the device-heavy ~60% of a frame) overlaps mapping work, exactly the
-    overlap the reference gets from its thread split;
-  * backpressure mirrors the reference: Tracking's keyframe policy consults
-    `accepts_keyframes()` (== `LocalMapping::AcceptKeyFrames`) and skips
-    keyframe creation while >= 3 keyframes are pending.
+  * `AsyncMapping`: a worker thread drains a keyframe queue and runs the
+    wrapped LocalMapping stage under `map_lock`; backpressure mirrors the
+    reference (keyframe policy consults `accepts_keyframes()`, insertion
+    sets the local-BA abort flag == mbAbortBA, fuse/BA/culling defer while
+    newer keyframes are queued == the CheckNewKeyFrames() gates);
+  * `AsyncLoopClosing`: a second worker for place recognition / Sim3 /
+    correction, fed by the mapping stage — loop closing never stalls
+    mapping; global BA additionally runs on the transient GlobalBA thread.
 
-All other attribute access delegates to the wrapped LocalMapping, so the
-wrapper is a drop-in for System/Tracking wiring (paused flag, relocalizer,
-map re-pointing on reset/load).
+All other attribute access delegates to the wrapped stage, so the wrappers
+are drop-ins for System wiring (paused flag, relocalizer, map re-pointing
+on reset/load).
 """
 
 from __future__ import annotations
 
 import queue
 import threading
+import traceback
 
 QUEUE_CAP = 3  # reference src/Tracking.cc:1173
 
 
-class AsyncMapping:
+class _AsyncStage:
+    """Worker-thread wrapper: drains a keyframe queue into the wrapped
+    stage's `insert_keyframe` under the map lock. A stage exception is
+    logged and the worker keeps draining (a dead worker would hang every
+    later `wait_idle`)."""
+
     _OWN = {"inner", "lock", "_queue", "_thread"}
 
-    def __init__(self, inner, map_lock: threading.Lock):
+    def __init__(self, inner, map_lock: threading.Lock, name: str):
         object.__setattr__(self, "inner", inner)
         object.__setattr__(self, "lock", map_lock)
         object.__setattr__(self, "_queue", queue.Queue())
-        # reference CheckNewKeyFrames gate (src/LocalMapping.cc:63-71): the
-        # wrapped stage defers fuse/BA/culling while newer KFs are queued
-        inner.pending_check = lambda: not self._queue.empty()
-        t = threading.Thread(target=self._run, daemon=True, name="local-mapping")
+        t = threading.Thread(target=self._run, daemon=True, name=name)
         object.__setattr__(self, "_thread", t)
         t.start()
 
@@ -51,12 +52,12 @@ class AsyncMapping:
         return getattr(self.inner, k)
 
     def __setattr__(self, k, v):
-        if k in AsyncMapping._OWN:
+        if k in _AsyncStage._OWN:
             object.__setattr__(self, k, v)
         else:
             setattr(self.inner, k, v)
 
-    # -- pipeline ------------------------------------------------------------
+    # -- worker --------------------------------------------------------------
 
     def _run(self):
         while True:
@@ -66,14 +67,37 @@ class AsyncMapping:
                     return
                 with self.lock:
                     self.inner.insert_keyframe(kf_id)
+            except Exception:  # keep draining; see class docstring
+                traceback.print_exc()
             finally:
                 self._queue.task_done()
 
     def insert_keyframe(self, kf_id: int):
-        """Enqueue; never blocks (the caller holds map_lock — the keyframe
-        policy's accepts_keyframes() gate bounds the queue instead). Signals
-        a running local BA to abort (reference LocalMapping::InsertKeyFrame
-        sets mbAbortBA, src/LocalMapping.cc:117)."""
+        """Enqueue; never blocks (the caller holds map_lock — backpressure
+        comes from the keyframe policy, not the queue)."""
+        self._queue.put(kf_id)
+
+    def wait_idle(self):
+        """Block until every queued keyframe has been processed."""
+        self._queue.join()
+
+    def shutdown(self):
+        if self._thread.is_alive():
+            self._queue.put(None)
+            self._thread.join(timeout=300)
+
+
+class AsyncMapping(_AsyncStage):
+    def __init__(self, inner, map_lock: threading.Lock):
+        super().__init__(inner, map_lock, "local-mapping")
+        # reference CheckNewKeyFrames gate (src/LocalMapping.cc:63-71): the
+        # wrapped stage defers fuse/BA/culling while newer KFs are queued
+        inner.pending_check = lambda: not self._queue.empty()
+
+    def insert_keyframe(self, kf_id: int):
+        """Signals a running local BA to abort (reference
+        LocalMapping::InsertKeyFrame sets mbAbortBA, src/LocalMapping.cc:117)
+        and enqueues."""
         self.inner.abort_ba = True
         self._queue.put(kf_id)
 
@@ -86,60 +110,12 @@ class AsyncMapping:
         # (runs in the tracking thread, which already holds the map lock)
         self.inner.initial_ba(kf1_id, kf2_id)
 
-    def wait_idle(self):
-        """Block until every queued keyframe has been processed."""
-        self._queue.join()
 
-    def shutdown(self):
-        if self._thread.is_alive():
-            self._queue.put(None)
-            self._thread.join(timeout=300)
-
-
-class AsyncLoopClosing:
+class AsyncLoopClosing(_AsyncStage):
     """LoopClosing on its own worker thread (reference src/System.cc:105-111):
     the mapping stage hands finished keyframes to this queue and returns
-    immediately, so place recognition / Sim3 / correction never stall the
-    mapping worker. The worker holds the map lock while mutating; a loop
-    correction's global BA still runs on the separate transient GBA thread."""
-
-    _OWN = {"inner", "lock", "_queue", "_thread"}
+    immediately. A loop correction's global BA still runs on the separate
+    transient GBA thread."""
 
     def __init__(self, inner, map_lock: threading.Lock):
-        object.__setattr__(self, "inner", inner)
-        object.__setattr__(self, "lock", map_lock)
-        object.__setattr__(self, "_queue", queue.Queue())
-        t = threading.Thread(target=self._run, daemon=True, name="loop-closing")
-        object.__setattr__(self, "_thread", t)
-        t.start()
-
-    def __getattr__(self, k):
-        return getattr(self.inner, k)
-
-    def __setattr__(self, k, v):
-        if k in AsyncLoopClosing._OWN:
-            object.__setattr__(self, k, v)
-        else:
-            setattr(self.inner, k, v)
-
-    def _run(self):
-        while True:
-            kf_id = self._queue.get()
-            try:
-                if kf_id is None:
-                    return
-                with self.lock:
-                    self.inner.insert_keyframe(kf_id)
-            finally:
-                self._queue.task_done()
-
-    def insert_keyframe(self, kf_id: int):
-        self._queue.put(kf_id)
-
-    def wait_idle(self):
-        self._queue.join()
-
-    def shutdown(self):
-        if self._thread.is_alive():
-            self._queue.put(None)
-            self._thread.join(timeout=300)
+        super().__init__(inner, map_lock, "loop-closing")

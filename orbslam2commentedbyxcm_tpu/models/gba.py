@@ -39,29 +39,36 @@ class GlobalBA:
         self.n_iters = n_iters
         self.chunk = chunk
         self._thread: threading.Thread | None = None
-        self._stop = threading.Event()
+        self._stop = threading.Event()       # current run's stop flag
+        # serializes abort()/launch() control-state mutation (abort may be
+        # called concurrently from the loop worker and from System.reset)
+        self._ctl = threading.Lock()
         # == reference mnFullBAIdx: stale results are discarded when a newer
         # loop bumped the index while the solve ran
         self.full_ba_idx = 0
         self.n_completed = 0
         self.n_aborted = 0
 
-    # -- control (callers hold the map lock) --------------------------------
+    # -- control (callers may hold the map lock) -----------------------------
 
     def running(self) -> bool:
-        return self._thread is not None and self._thread.is_alive()
+        t = self._thread
+        return t is not None and t.is_alive()
 
     def abort(self):
-        """Kill a running GBA (reference CorrectLoop, :460-473). Safe to call
-        while holding the map lock: the worker's write-back acquire polls the
-        stop flag, so the join below is bounded by one solve chunk."""
-        if not self.running():
-            return
-        self._stop.set()
-        self.full_ba_idx += 1
-        self._thread.join()
-        self._thread = None
-        self.n_aborted += 1
+        """Kill a running GBA (reference CorrectLoop, :460-473: set mbStopGBA
+        and DETACH). No join — callers typically hold the map lock, and the
+        solve may be mid-chunk; the abandoned thread sees ITS OWN stop event,
+        skips write-back, and exits. Each launch gets a fresh event, so a
+        relaunch can never un-stop an abandoned run."""
+        with self._ctl:
+            t = self._thread
+            if t is None or not t.is_alive():
+                return
+            self._stop.set()
+            self.full_ba_idx += 1
+            self._thread = None
+            self.n_aborted += 1
 
     def launch(self, loop_kf_id: int):
         """Snapshot the map (caller holds the map lock) and start the solve
@@ -74,24 +81,27 @@ class GlobalBA:
         problem = assemble_ba_problem(m, kf_ids, fixed_ids={m.origin_kf_id})
         if problem is None:
             return
-        self._stop.clear()
-        idx = self.full_ba_idx
-        t = threading.Thread(
-            target=self._run, args=(problem, loop_kf_id, idx, m),
-            daemon=True, name="global-ba",
-        )
-        self._thread = t
-        t.start()
+        with self._ctl:
+            stop = threading.Event()
+            self._stop = stop
+            idx = self.full_ba_idx
+            t = threading.Thread(
+                target=self._run, args=(problem, loop_kf_id, idx, m, stop),
+                daemon=True, name="global-ba",
+            )
+            self._thread = t
+            t.start()
 
     def wait(self):
-        """Block until a running GBA has finished and written back."""
+        """Block until the current (non-aborted) GBA has finished and written
+        back. Do not call while holding the map lock."""
         t = self._thread
         if t is not None and t is not threading.current_thread():
             t.join()
 
     # -- worker --------------------------------------------------------------
 
-    def _run(self, problem, loop_kf_id: int, idx: int, m):
+    def _run(self, problem, loop_kf_id: int, idx: int, m, stop):
         # chunked 10-iteration plain (non-robust) GN/LM schedule — reference
         # GlobalBundleAdjustemnt(map, 10, &mbStopGBA, nLoopKF, false)
         chunks = []
@@ -101,13 +111,13 @@ class GlobalBA:
             left -= self.chunk
         res = solve_ba_problem(
             problem, self.camera, tuple(chunks),
-            abort_check=self._stop.is_set, relabel_between=False,
+            abort_check=stop.is_set, relabel_between=False,
         )
-        if self._stop.is_set() or idx != self.full_ba_idx:
+        if stop.is_set() or idx != self.full_ba_idx:
             return
 
         # -- write-back under the map lock (reference :732-809) -------------
-        while not self._stop.is_set():
+        while not stop.is_set():
             if self.lock.acquire(timeout=0.01):
                 try:
                     if idx == self.full_ba_idx and m is self.map:

@@ -731,16 +731,21 @@ def solve_ba_problem(problem, cam: Camera, n_iters, abort_check=None,
         )
     poses_j, points_j = args[0], args[2]
     obs_mask = jnp.asarray(problem["omask"])
+    active = None  # first phase starts from the full mask
     res = None
     for i, ph in enumerate(phases):
         res = optim.bundle_adjustment(
             poses_j, args[1], points_j, args[3], args[4], args[5],
             ouv, obs_mask, osig, *intr,
             schedule=(ph,), relabel_between=relabel_between,
+            active_init=active,
         )
         poses_j, points_j = res.poses, res.points
         if relabel_between:
-            obs_mask = res.obs_inliers
+            # the next phase's ACTIVE set is the relabeled inliers, but
+            # relabeling keeps considering the full original mask (matching
+            # the single-call schedule: excluded edges can come back)
+            active = res.obs_inliers
         if i + 1 < len(phases) and abort_check():
             break
     return res

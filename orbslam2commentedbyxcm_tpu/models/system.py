@@ -131,6 +131,11 @@ class System:
         from orbslam2commentedbyxcm_tpu.models.relocalization import Relocalizer
 
         # re-wiring (load_map / lazy vocab training): retire the old worker
+        # and kill any in-flight GBA of the stack being replaced — an
+        # orphaned solve would otherwise write a stale snapshot back into
+        # the live map minutes later
+        if self.loop_closing is not None and self.loop_closing.gba is not None:
+            self.loop_closing.gba.abort()
         if self._loop_worker is not None:
             self._loop_worker.shutdown()
             self._loop_worker = None

@@ -446,21 +446,9 @@ class Tracking:
         temporal points (localization-only VO, reference UpdateLastFrame
         src/Tracking.cc:893) appended after the real points; their slots map
         to pid -2 ("matched, but not a map point")."""
-        m = self.map
         n = min(len(pids), cap)
         pids = pids[:n]
-        xyz = np.zeros((cap, 3), np.float32)
-        desc = np.zeros((cap, 8), np.uint32)
-        normal = np.zeros((cap, 3), np.float32)
-        dmin = np.zeros(cap, np.float32)
-        dmax = np.full(cap, 1e9, np.float32)
-        mask = np.zeros(cap, bool)
-        xyz[:n] = m.pt_xyz[pids]
-        desc[:n] = m.pt_desc[pids]
-        normal[:n] = m.pt_normal[pids]
-        dmin[:n] = m.pt_dmin[pids]
-        dmax[:n] = m.pt_dmax[pids]
-        mask[:n] = True
+        xyz, desc, normal, dmin, dmax, mask = self.map.pack_points(pids, cap)
         slot_to_pid = np.full(cap, -1, np.int64)
         slot_to_pid[:n] = pids
         if extra is not None:

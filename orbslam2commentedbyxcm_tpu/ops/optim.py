@@ -337,6 +337,7 @@ def bundle_adjustment(
     fx, fy, cx, cy, bf,
     schedule=((5, True), (10, True)),
     relabel_between: bool = True,
+    active_init: jnp.ndarray | None = None,
 ) -> BAResult:
     """Schur-complement LM bundle adjustment over masked edge batches.
 
@@ -345,6 +346,11 @@ def bundle_adjustment(
     the caller chooses the pose_fixed mask and schedule. Dense reduced camera
     system: fine up to a few hundred poses; the sharded multi-device variant
     lives in parallel/dist_ba.py.
+
+    `active_init` (default obs_mask) selects the FIRST phase's active edge
+    set while relabeling still happens against the full obs_mask — used by
+    the phased interruptible path so an edge excluded in one phase can be
+    re-admitted by a later relabel, exactly like the single-call schedule.
     """
     k_poses = poses.shape[0]
     p_pts = points.shape[0]
@@ -464,7 +470,7 @@ def bundle_adjustment(
         done = (step_sz < 1e-6) | (lam >= 1e6)
         return (poses_, points_, lam, err, done)
 
-    inl = obs_mask
+    inl = obs_mask if active_init is None else active_init
     for n_it, use_huber in schedule:
         active = (inl & point_valid[obs_point]).astype(jnp.float32)
         err0 = total_cost(poses, points, active, use_huber)

@@ -79,12 +79,20 @@ class FrameDrawer:
 
     def __init__(self, system):
         self.system = system
-        self.frame = None
-        self.image = None
+        # (frame, image) stored as ONE tuple so the threaded viewer's render
+        # worker never sees a frame paired with the previous camera image
+        self._snapshot = (None, None)
 
     def update(self, frame, image=None):
-        self.frame = frame
-        self.image = image
+        self._snapshot = (frame, image)
+
+    @property
+    def frame(self):
+        return self._snapshot[0]
+
+    @property
+    def image(self):
+        return self._snapshot[1]
 
     def text_info(self) -> str:
         sys_ = self.system
@@ -94,9 +102,10 @@ class FrameDrawer:
         return f"{state} | KFs: {n_kf} | MPs: {n_mp} | matches: {sys_.n_tracked_points()}"
 
     def draw(self, path: str):
-        if self.frame is None:
+        frame, image = self._snapshot
+        if frame is None:
             return
-        save_frame_overlay(self.frame, path, image=self.image,
+        save_frame_overlay(frame, path, image=image,
                            title_suffix="  " + self.text_info())
 
 
