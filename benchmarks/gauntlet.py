@@ -43,7 +43,7 @@ def _augment(img, i, rng):
     return out.astype(np.float32)
 
 
-def run_sequence(name, frames, augment=True):
+def run_sequence(name, frames, augment=True, save_traj=None):
     from orbslam2commentedbyxcm_tpu.models.system import Sensor, System
     from orbslam2commentedbyxcm_tpu.models.tracking import TrackingConfig
     from orbslam2commentedbyxcm_tpu.utils.evaluation import (
@@ -114,6 +114,14 @@ def run_sequence(name, frames, augment=True):
     # path length for drift-ratio context
     gt_pos = positions_from_tcw(np.stack([seq.pose(i) for i in range(frames)]))
     path_len = float(np.sum(np.linalg.norm(np.diff(gt_pos, axis=0), axis=1)))
+    if save_traj:
+        est_q = [(ts, t) for (ts, t) in traj]
+        np.savez_compressed(
+            save_traj,
+            ts=np.array([ts for ts, _ in est_q], np.float64),
+            t_cw=np.stack([t for _, t in est_q]) if est_q else np.zeros((0, 4, 4)),
+            gt=gt,
+        )
     lc = system.loop_closing
     rec = {
         "sequence": name,
@@ -128,6 +136,9 @@ def run_sequence(name, frames, augment=True):
         "keyframes": len(system.map.good_keyframes()),
         "points": int(system.map.n_valid_points()),
         "wall_s": round(wall, 1),
+        "render_s": round(t_render, 1),
+        "gba_completed": 0 if (lc is None or lc.gba is None) else lc.gba.n_completed,
+        "gba_aborted": 0 if (lc is None or lc.gba is None) else lc.gba.n_aborted,
     }
     return rec
 
@@ -139,6 +150,8 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--no-augment", action="store_true")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--save-traj", default=None,
+                    help="prefix: writes <prefix>_<seq>.npz with (ts, t_cw, gt)")
     args = ap.parse_args()
 
     import jax
@@ -156,7 +169,10 @@ def main():
     names = [args.seq] if args.seq else ["orbit", "forward", "sway"]
     report = []
     for name in names:
-        rec = run_sequence(name, args.frames, augment=not args.no_augment)
+        rec = run_sequence(
+            name, args.frames, augment=not args.no_augment,
+            save_traj=(f"{args.save_traj}_{name}.npz" if args.save_traj else None),
+        )
         print(json.dumps(rec))
         report.append(rec)
     if args.out:
