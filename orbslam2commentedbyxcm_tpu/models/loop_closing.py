@@ -4,15 +4,21 @@ Reference pipeline (src/LoopClosing.cc):
   DetectLoop (:101)        — BoW candidates gated by min covisible score and
                              3-consecutive-group consistency
   ComputeSim3 (:236)       — per candidate: descriptor matching + Sim3 RANSAC
-                             (Horn) + g2o Sim3 refine (>=20 inliers), then a
-                             Sim3-guided projection search (>=40 matches)
+                             (Horn) + SearchBySim3 mutual match growing
+                             (src/ORBmatcher.cc:1361) + Sim3 refine
+                             (>=20 inliers), then a Sim3-guided projection
+                             search (>=40 matches)
   CorrectLoop (:448)       — Sim3 propagation to the covisible group, point
-                             remap + fuse, essential-graph optimization,
-                             global BA
+                             remap + current-KF fuse, group-wide SearchAndFuse
+                             (:646, loop point wins), LoopConnections (:595),
+                             essential-graph optimization, transient
+                             abortable global BA (models/gba.py == the
+                             reference GBA thread, :634)
 
-Device compute: ops/sim3solver (batched Horn RANSAC), ops/posegraph
-(autodiff Sim3 pose graph + two-frame refine), ops/optim (global BA),
-ops/matching (all Hamming). Host: group bookkeeping and graph edges.
+Device compute: ops/sim3solver (batched Horn RANSAC + search_by_sim3),
+ops/posegraph (autodiff Sim3 pose graph, dense or matrix-free CG, + the
+two-frame refine), ops/optim (global BA), the jitted projection matcher for
+every guided search. Host: group bookkeeping and graph edges.
 """
 
 from __future__ import annotations

@@ -5,10 +5,15 @@ Replaces the reference Optimizer::OptimizeEssentialGraph (src/Optimizer.cc:873
 covisibility edges, 20 LM iterations) and Optimizer::OptimizeSim3 (:1173 —
 the two-keyframe Sim3 with fixed points and bidirectional reprojection
 edges). TPU-first: per-edge 7/14-dim Jacobians come from vmapped forward-mode
-autodiff of the Lie-group residual (no hand-derived Sim3 Jacobians), the
-Hessian is assembled with scatter-adds into a dense (7K, 7K) system and
-solved with one Cholesky — XLA prefers one dense solve over g2o's sparse
-factorization at these sizes (K up to a few thousand keyframes).
+autodiff of the Lie-group residual (no hand-derived Sim3 Jacobians). Two
+solver paths, auto-dispatched by `solve_pose_graph`:
+
+  * dense (`optimize_pose_graph`): Hessian assembled via {0,1}-incidence
+    MXU matmuls into a (7K, 7K) system, one Cholesky per LM iteration —
+    fastest below ~192 keyframes;
+  * matrix-free (`optimize_pose_graph_cg`): block-Jacobi preconditioned CG
+    applying H = J^T J edge-wise, O(E) memory — the g2o sparse block-solver
+    role (Thirdparty/g2o/g2o/core/block_solver.hpp:51-90) at map scale.
 """
 
 from __future__ import annotations
