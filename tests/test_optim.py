@@ -190,3 +190,26 @@ def test_pose_optimization_dogleg_with_outliers(rng):
     assert pose_err(np.asarray(res.t_cw), t_gt) < 0.02
     inl = np.asarray(res.inliers)
     assert inl[n_out:].mean() > 0.9 and inl[:n_out].mean() < 0.2
+
+
+def test_ba_active_init_readmits_excluded_edges(rng):
+    """Phased interruptible BA parity (r3 review fix): an edge excluded from
+    the ACTIVE set via active_init must be re-admitted by the final relabel
+    when its chi2 at the solution is small — relabeling considers the full
+    obs_mask, exactly like the single-call schedule."""
+    poses, pts, op, opt_, ouv = make_ba_problem(rng, noise=0.3)
+    k, p = len(poses), len(pts)
+    fixed = np.zeros(k, bool)
+    fixed[:2] = True
+    active0 = np.ones(len(op), bool)
+    active0[:40] = False  # 40 perfectly good edges excluded from phase 1
+    res = optim.bundle_adjustment(
+        jnp.asarray(poses), jnp.asarray(fixed), jnp.asarray(pts),
+        jnp.ones(p, bool), jnp.asarray(op), jnp.asarray(opt_), jnp.asarray(ouv),
+        jnp.ones(len(op), bool), jnp.ones(len(op)), FX, FY, CX, CY, BF,
+        schedule=((5, True),), active_init=jnp.asarray(active0),
+    )
+    inl = np.asarray(res.obs_inliers)
+    # the excluded-but-good edges come back as inliers
+    assert inl[:40].mean() > 0.9
+    assert inl.mean() > 0.95
