@@ -63,7 +63,11 @@ class LoopClosing:
 
     def insert_keyframe(self, kf_id: int):
         kf = self.map.keyframes.get(kf_id)
-        if kf is None or self.voc is None or self.db is None:
+        # a queued keyframe may have been culled by the mapping worker before
+        # this worker drained it (the reference instead pins queued KFs with
+        # SetNotErase, src/KeyFrame.cc; skipping a culled-redundant KF for
+        # place recognition is equivalent and keeps the DB free of dead KFs)
+        if kf is None or kf.bad or self.voc is None or self.db is None:
             return
         # BoW for the new KF
         words, groups, weights = bow.transform(self.voc, kf.desc, kf.valid)
