@@ -78,6 +78,30 @@ class Frame:
         """(N, 3) observations (u, v, u_right) with -1 in col 2 for mono feats."""
         return np.concatenate([self.uv_und, self.u_right[:, None]], axis=1).astype(np.float32)
 
+    def device_arrays(self) -> dict:
+        """The frame's feature arrays as device (jnp) arrays, uploaded once.
+
+        Every tracking stage consumes the same per-frame arrays; without this
+        cache each stage re-uploads ~1000-row copies of uv/desc/level/valid/
+        obs/inv_sigma2 (2-3 stages x every frame). Built lazily AFTER the
+        pipeline finalized uv_und (undistortion) and u_right/depth (stereo or
+        RGB-D attach), which all happen before tracking touches the frame."""
+        cache = getattr(self, "_device_cache", None)
+        if cache is None:
+            import jax.numpy as jnp
+
+            cache = {
+                "uv_und": jnp.asarray(self.uv_und),
+                "desc": jnp.asarray(self.desc),
+                "level": jnp.asarray(self.level),
+                "valid": jnp.asarray(self.valid),
+                "angle": jnp.asarray(self.angle),
+                "obs": jnp.asarray(self.stereo_obs()),
+                "inv_sigma2": jnp.asarray(self.inv_sigma2()),
+            }
+            self._device_cache = cache
+        return cache
+
 
 class KeyFrame:
     """Persistent frame snapshot (reference include/KeyFrame.h).

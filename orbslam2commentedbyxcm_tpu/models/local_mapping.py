@@ -402,22 +402,27 @@ class LocalMapping:
         ur2_all = stack(lambda nb: nb.u_right, -1.0, np.float32)
         d2_all = stack(lambda nb: nb.depth, -1.0, np.float32)
 
+        import contextlib
+
+        dev_span = (self.tracer.span("map_device") if self.tracer is not None
+                    else contextlib.nullcontext())
         free_kf = (kf.map_pt < 0) & kf.valid
-        best, ok, pts, good = mapping_triangulate_fused(
-            jnp.asarray(kf.desc), jnp.asarray(kf.uv_und), jnp.asarray(kf.level),
-            jnp.asarray(free_kf), jnp.asarray(kf.t_cw),
-            jnp.asarray(kf.u_right), jnp.asarray(kf.depth),
-            jnp.asarray(sigma2[kf.level].astype(np.float32)),
-            jnp.asarray((kf.scale_factor ** kf.level).astype(np.float32)),
-            jnp.asarray(desc2), jnp.asarray(uv2_all), jnp.asarray(level2),
-            jnp.asarray(free2), jnp.asarray(f12_b), jnp.asarray(sig2_b),
-            jnp.asarray(epi_b), jnp.asarray(t2_b), jnp.asarray(ur2_all),
-            jnp.asarray(d2_all),
-            jnp.asarray(kinv.astype(np.float32)), float(kf.scale_factor),
-            float(matching.TH_LOW),
-            cam.fx, cam.fy, cam.cx, cam.cy, cam.bf, cam.b,
-        )
-        best, ok, pts, good = jax.device_get((best, ok, pts, good))
+        with dev_span:
+            best, ok, pts, good = mapping_triangulate_fused(
+                jnp.asarray(kf.desc), jnp.asarray(kf.uv_und), jnp.asarray(kf.level),
+                jnp.asarray(free_kf), jnp.asarray(kf.t_cw),
+                jnp.asarray(kf.u_right), jnp.asarray(kf.depth),
+                jnp.asarray(sigma2[kf.level].astype(np.float32)),
+                jnp.asarray((kf.scale_factor ** kf.level).astype(np.float32)),
+                jnp.asarray(desc2), jnp.asarray(uv2_all), jnp.asarray(level2),
+                jnp.asarray(free2), jnp.asarray(f12_b), jnp.asarray(sig2_b),
+                jnp.asarray(epi_b), jnp.asarray(t2_b), jnp.asarray(ur2_all),
+                jnp.asarray(d2_all),
+                jnp.asarray(kinv.astype(np.float32)), float(kf.scale_factor),
+                float(matching.TH_LOW),
+                cam.fx, cam.fy, cam.cx, cam.cy, cam.bf, cam.b,
+            )
+            best, ok, pts, good = jax.device_get((best, ok, pts, good))
         created = []
         for b, nb in enumerate(nbs):
             for i in np.nonzero(good[b])[0]:
@@ -454,31 +459,53 @@ class LocalMapping:
         resolution logic of src/ORBmatcher.cc:1067: existing observation ->
         replace the point with fewer observations; free feature -> add the
         observation). Points that gained an observation are appended to
-        `touched` for one batched attribute refresh at the end of the stage."""
+        `touched` for one batched attribute refresh at the end of the stage.
+
+        All gate checks are vectorized; Python loops only run over the
+        accepted matches (conflict replaces are rare, observation adds are
+        dict/FFI inserts) instead of every matched feature slot."""
+        m = self.map
         n = len(pids)
-        for feat_idx in np.nonzero(ok)[0]:
-            slot = best_pt[feat_idx]
-            if slot >= n:
+        feat = np.nonzero(ok)[0]
+        if len(feat) == 0:
+            return
+        slot = np.asarray(best_pt)[feat]
+        keep = slot < n
+        feat, slot = feat[keep], slot[keep]
+        pid = np.asarray(pids)[slot]
+        keep = m.pt_valid[pid]
+        feat, pid = feat[keep], pid[keep]
+        existing = target.map_pt[feat]
+        has_existing = (existing >= 0) & m.pt_valid[np.maximum(existing, 0)]
+
+        # conflict: the feature already observes a different point -> merge,
+        # keeping the point with more observations (sequential: an earlier
+        # replace in this batch may invalidate a later pid)
+        for f, p, ex in zip(feat[has_existing], pid[has_existing],
+                            existing[has_existing]):
+            p, ex = int(p), int(ex)
+            if p == ex or not m.pt_valid[p] or not m.pt_valid[ex]:
                 continue
-            pid = int(pids[slot])
-            if not self.map.pt_valid[pid]:
-                continue
-            existing = int(target.map_pt[feat_idx])
-            if existing >= 0 and self.map.pt_valid[existing]:
-                if existing != pid:
-                    # keep the point with more observations
-                    if self.map.n_observations(existing) >= self.map.n_observations(pid):
-                        self.map.replace_point(pid, existing)
-                    else:
-                        self.map.replace_point(existing, pid)
+            if m.n_observations(ex) >= m.n_observations(p):
+                m.replace_point(p, ex)
             else:
-                if target.kf_id not in self.map.obs.get(pid, {}):
-                    self.map.add_observation(pid, target.kf_id, int(feat_idx))
-                    if touched is None:
-                        self.map.update_point_descriptor(pid)
-                        self.map.update_point_normal_depth(pid)
-                    else:
-                        touched.append(pid)
+                m.replace_point(ex, p)
+
+        # free feature -> new observation (re-check occupancy: a replace above
+        # may have re-pointed this feature slot since the snapshot)
+        for f, p in zip(feat[~has_existing], pid[~has_existing]):
+            p = int(p)
+            now = int(target.map_pt[f])
+            if now >= 0 and m.pt_valid[now]:
+                continue
+            if not m.pt_valid[p] or target.kf_id in m.obs.get(p, ()):
+                continue
+            m.add_observation(p, target.kf_id, int(f))
+            if touched is None:
+                m.update_point_descriptor(p)
+                m.update_point_normal_depth(p)
+            else:
+                touched.append(p)
 
     def fuse_neighbors(self, kf: KeyFrame):
         """SearchInNeighbors (src/LocalMapping.cc:506-603): bidirectional
@@ -615,10 +642,15 @@ class LocalMapping:
         problem = assemble_ba_problem(m, local_set, fixed_ids=fixed_ids)
         if problem is None:
             return
-        res = solve_ba_problem(
-            problem, cam, n_iters,
-            abort_check=(lambda: self.abort_ba) if interruptible else None,
-        )
+        import contextlib
+
+        dev_span = (self.tracer.span("map_device") if self.tracer is not None
+                    else contextlib.nullcontext())
+        with dev_span:
+            res = solve_ba_problem(
+                problem, cam, n_iters,
+                abort_check=(lambda: self.abort_ba) if interruptible else None,
+            )
         write_back_ba(m, problem, res)
 
 
@@ -765,6 +797,7 @@ def write_back_ba(m: Map, problem, res):
             if kf is not None:
                 kf.set_pose(out_poses[s])
     m.pt_xyz[pids] = out_points[: len(pids)]
+    m.pt_version += 1  # direct pt_xyz write: invalidate tracking's pack cache
     for e in np.nonzero(~inl[: problem["ne"]])[0]:
         kf_id, pid, feat_idx = problem["obs_feat"][e]
         m.erase_observation(pid, kf_id)

@@ -30,6 +30,12 @@ class Map:
         self.pt_found = np.zeros(cap, np.int32)     # tracking found counter
         self.pt_replaced_by = np.full(cap, -1, np.int64)
         self.n_points = 0
+        # bumped on every mutation of the packed point attributes (xyz, desc,
+        # normal, dmin/dmax, valid) — Tracking keys its device-side local-map
+        # pack cache on this, so unchanged local maps upload ZERO point bytes
+        # per frame. Writers that mutate pt_* arrays directly (BA write-back,
+        # loop correction, GBA propagation) must bump it themselves.
+        self.pt_version = 0
 
         self.obs: dict[int, dict[int, int]] = {}    # pid -> {kf_id: feat_idx}
         # native C++ observation/covisibility index mirrors self.obs and
@@ -92,6 +98,7 @@ class Map:
         self.pt_ref_kf[pid] = ref_kf_id
         self.pt_first_kf[pid] = ref_kf_id
         self.obs[pid] = {}
+        self.pt_version += 1
         return pid
 
     def add_observation(self, pid: int, kf_id: int, feat_idx: int):
@@ -120,6 +127,7 @@ class Map:
         if not self.pt_valid[pid]:
             return
         self.pt_valid[pid] = False
+        self.pt_version += 1
         if self._native is not None:
             self._native.erase_point(pid)
         for kf_id, idx in list(self.obs.get(pid, {}).items()):
@@ -146,6 +154,7 @@ class Map:
         self.pt_found[new_pid] += self.pt_found[old_pid]
         self.pt_visible[new_pid] += self.pt_visible[old_pid]
         self.pt_valid[old_pid] = False
+        self.pt_version += 1
         self.pt_replaced_by[old_pid] = new_pid
         self.obs.pop(old_pid, None)
         if self._native is not None:
@@ -189,6 +198,7 @@ class Map:
         descs = np.stack([
             self.keyframes[k].desc[i] for k, i in o.items() if k in self.keyframes
         ])
+        self.pt_version += 1
         if len(descs) == 1:
             self.pt_desc[pid] = descs[0]
             return
@@ -215,6 +225,7 @@ class Map:
                 normals.append(v / n)
         if not normals:
             return
+        self.pt_version += 1
         self.pt_normal[pid] = np.mean(normals, axis=0)
         ref_id = int(self.pt_ref_kf[pid])
         ref = self.keyframes.get(ref_id)
@@ -257,6 +268,7 @@ class Map:
         pid_idx, kf_arr, ft_arr = self._observer_csr(pids)
         if len(pid_idx) == 0:
             return
+        self.pt_version += 1
         kf_ids = np.unique(kf_arr)
         live = np.array([int(k) in self.keyframes for k in kf_ids])
         centers = np.stack([
@@ -308,6 +320,7 @@ class Map:
         pid_idx, kf_arr, ft_arr = self._observer_csr(pids)
         if len(pid_idx) == 0:
             return
+        self.pt_version += 1
         live = np.fromiter((int(k) in self.keyframes for k in kf_arr),
                            bool, count=len(kf_arr))
         pid_idx, kf_arr, ft_arr = pid_idx[live], kf_arr[live], ft_arr[live]
