@@ -106,27 +106,42 @@ def main():
     # 6.6 ms) to estimate direct-attached system throughput from MEASURED
     # host cost, not hand-waving.
     st = tracer.stats()["spans"]
+    recs = tracer.frame_records()
+
+    def med(vals):
+        return float(np.median(vals)) if len(vals) else 0.0
+
+    # per-frame host = tracking span minus its device sub-spans, medianed so
+    # XLA compiles (host-side one-offs) don't poison the steady-state number
+    host_ms = med([
+        1e3 * (r["spans"].get("tracking", 0.0) - r["spans"].get("track_device", 0.0))
+        for r in recs if "tracking" in r["spans"]
+    ])
+    dev_ms = med([
+        1e3 * r["spans"].get("track_device", 0.0)
+        for r in recs if "tracking" in r["spans"]
+    ])
+    extract_ms = med([
+        1e3 * r["spans"]["extract"] for r in recs if "extract" in r["spans"]
+    ])
+    n_kf = max(len(system.map.good_keyframes()), 1)
 
     def tot(name):
         return st.get(name, {}).get("total_s", 0.0)
 
-    n_kf = max(len(system.map.good_keyframes()), 1)
-    track_host_ms = 1e3 * (tot("tracking") - tot("track_device")) / max(args.frames, 1)
-    extract_ms = 1e3 * tot("extract") / max(args.frames, 1)
     map_host_ms_per_kf = 1e3 * (tot("local_mapping") - tot("map_device")) / n_kf
-    kf_per_frame = n_kf / max(args.frames, 1)
-    # projected direct-attached latency path: host tracking python + device
-    # tracking step (TPU micro: 0.68 ms incl. extraction); mapping overlaps
-    # on its own worker in the async pipeline, so it bounds KF rate, not fps
-    proj_ms = track_host_ms + 0.68
+    # projected direct-attached latency path: measured host tracking python
+    # + the device tracking step from the TPU micro-benches (0.68 ms,
+    # extraction overlapped); mapping runs on its own worker in the async
+    # pipeline, so it bounds keyframe rate, not frame rate
+    proj_ms = host_ms + 0.68
     decomposition = {
-        "track_host_ms_per_frame": round(track_host_ms, 2),
-        "extract_ms_per_frame_thisbackend": round(extract_ms, 2),
-        "track_device_ms_per_frame_thisbackend": round(
-            1e3 * tot("track_device") / max(args.frames, 1), 2),
+        "track_host_ms_per_frame_median": round(host_ms, 2),
+        "track_device_ms_per_frame_median_thisbackend": round(dev_ms, 2),
+        "extract_ms_per_frame_median_thisbackend": round(extract_ms, 2),
         "map_host_ms_per_kf": round(map_host_ms_per_kf, 2),
         "map_device_ms_per_kf_thisbackend": round(1e3 * tot("map_device") / n_kf, 2),
-        "kf_per_frame": round(kf_per_frame, 3),
+        "kf_per_frame": round(n_kf / max(args.frames, 1), 3),
         "projected_direct_attached_fps": round(1e3 / max(proj_ms, 1e-6), 1),
     }
     print("decomposition: " + json.dumps(decomposition), file=sys.stderr)

@@ -529,19 +529,27 @@ class LocalMapping:
 
         touched: list = []
 
+        import contextlib
+
+        def dev_span():
+            return (self.tracer.span("map_device") if self.tracer is not None
+                    else contextlib.nullcontext())
+
         def fuse_into(target: KeyFrame, pids: np.ndarray):
             if len(pids) == 0:
                 return
             packed = self._pack_points(pids, _bucket(len(pids), 1024))
-            best_pt, best_d, ok, _ = project_and_match(
-                *[jnp.asarray(a) for a in packed],
-                jnp.asarray(target.t_cw), jnp.asarray(target.uv_und),
-                jnp.asarray(target.desc), jnp.asarray(target.level),
-                jnp.asarray(target.valid),
-                cam.fx, cam.fy, cam.cx, cam.cy, float(cam.width), float(cam.height),
-                3.0, float(matching.TH_LOW), float(np.log(target.scale_factor)),
-                target.n_levels,
-            )
+            with dev_span():
+                best_pt, best_d, ok, _ = project_and_match(
+                    *[jnp.asarray(a) for a in packed],
+                    jnp.asarray(target.t_cw), jnp.asarray(target.uv_und),
+                    jnp.asarray(target.desc), jnp.asarray(target.level),
+                    jnp.asarray(target.valid),
+                    cam.fx, cam.fy, cam.cx, cam.cy, float(cam.width), float(cam.height),
+                    3.0, float(matching.TH_LOW), float(np.log(target.scale_factor)),
+                    target.n_levels,
+                )
+                best_pt, ok = jax.device_get((best_pt, ok))
             self._merge_matches(target, pids, np.asarray(best_pt), np.asarray(ok),
                                 touched=touched)
 
@@ -566,13 +574,15 @@ class LocalMapping:
                 [t.valid for t in t_list] + [np.zeros_like(t0.valid)] * pad
             )
             packed = self._pack_points(kf_pids, _bucket(len(kf_pids), 1024))
-            best_pt, best_d, ok, _ = pam_targets(
-                *[jnp.asarray(a) for a in packed],
-                jnp.asarray(t_cw.astype(np.float32)), jnp.asarray(uv),
-                jnp.asarray(dsc), jnp.asarray(lvl), jnp.asarray(val),
-                cam.fx, cam.fy, cam.cx, cam.cy, float(cam.width), float(cam.height),
-                3.0, float(matching.TH_LOW), float(np.log(t0.scale_factor)),
-            )
+            with dev_span():
+                best_pt, best_d, ok, _ = pam_targets(
+                    *[jnp.asarray(a) for a in packed],
+                    jnp.asarray(t_cw.astype(np.float32)), jnp.asarray(uv),
+                    jnp.asarray(dsc), jnp.asarray(lvl), jnp.asarray(val),
+                    cam.fx, cam.fy, cam.cx, cam.cy, float(cam.width), float(cam.height),
+                    3.0, float(matching.TH_LOW), float(np.log(t0.scale_factor)),
+                )
+                best_pt, ok = jax.device_get((best_pt, ok))
             best_pt, ok = np.asarray(best_pt), np.asarray(ok)
             for b, target in enumerate(t_list):
                 self._merge_matches(target, kf_pids, best_pt[b], ok[b],

@@ -104,6 +104,11 @@ class Tracer:
             lines.append(f"{name:<24}{v:>6g}")
         return "\n".join(lines)
 
+    def frame_records(self) -> list[dict]:
+        """Per-frame span records ({'frame', 'timestamp', 'spans', ...})."""
+        with self._lock:
+            return list(self._frames)
+
     def dump_jsonl(self, path: str):
         """One JSON object per frame (spans in seconds), then a summary row."""
         with self._lock:
