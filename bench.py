@@ -64,17 +64,21 @@ def main():
         out = r(imgs, t_init)
         np.asarray(out[0])  # full sync (block_until_ready is deferred on axon)
 
-    times = {}
-    for name, r in (("short", run_short), ("long", run_long)):
-        best = np.inf
-        for _ in range(3):
+    # >= 5 paired differential reps -> median + IQR, so a real regression is
+    # distinguishable from run-to-run spread (VERDICT r3 Weak #7: the r2->r3
+    # 1527->1491 delta was unjudgeable from a single number)
+    reps = []
+    for _ in range(6):
+        pair = {}
+        for name, r in (("short", run_short), ("long", run_long)):
             t0 = time.perf_counter()
             out = r(imgs, t_init)
             np.asarray(out[0])
-            best = min(best, time.perf_counter() - t0)
-        times[name] = best
-
-    fps = (N_LONG - N_SHORT) / max(times["long"] - times["short"], 1e-6)
+            pair[name] = time.perf_counter() - t0
+        reps.append((N_LONG - N_SHORT) / max(pair["long"] - pair["short"], 1e-6))
+    reps = np.sort(np.asarray(reps))
+    fps = float(np.median(reps))
+    q25, q75 = float(np.percentile(reps, 25)), float(np.percentile(reps, 75))
 
     baseline_fps = 30.0  # reference "real-time on i7" claim; see module docstring
     print(
@@ -84,6 +88,8 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / baseline_fps, 3),
+                "iqr": [round(q25, 2), round(q75, 2)],
+                "reps": [round(float(x), 2) for x in reps],
             }
         )
     )

@@ -78,6 +78,37 @@ class Frame:
         """(N, 3) observations (u, v, u_right) with -1 in col 2 for mono feats."""
         return np.concatenate([self.uv_und, self.u_right[:, None]], axis=1).astype(np.float32)
 
+    def compact_to(self, cap: int, priority_mask: np.ndarray) -> np.ndarray:
+        """Shrink the frame's feature arrays to `cap` slots, keeping all
+        `priority_mask` features first and filling the rest by descending
+        FAST response. Returns old->new index mapping (-1 = dropped).
+
+        Used after monocular initialization with the doubled init feature
+        budget (reference mpIniORBextractor, src/Tracking.cc:121-126): the
+        two init frames become keyframes, and keyframe array shapes must
+        stay uniform for the batched device programs, so the surviving
+        (matched-first) features are repacked into the standard capacity."""
+        pri = priority_mask & self.valid
+        rest = self.valid & ~pri
+        rest_idx = np.nonzero(rest)[0]
+        order_rest = rest_idx[np.argsort(-self.response[rest_idx])]
+        sel = np.concatenate([np.nonzero(pri)[0], order_rest])[:cap]
+        old_to_new = np.full(self.capacity, -1, np.int64)
+        old_to_new[sel] = np.arange(len(sel))
+        for name in ("uv", "uv_und", "angle", "level", "desc", "valid",
+                     "response", "u_right", "depth", "map_pt", "is_outlier"):
+            arr = getattr(self, name)
+            out = np.zeros((cap,) + arr.shape[1:], arr.dtype)
+            if name in ("u_right", "depth"):
+                out[:] = -1.0
+            elif name == "map_pt":
+                out[:] = -1
+            out[: len(sel)] = arr[sel]
+            setattr(self, name, out)
+        self.n = int(self.valid.sum())
+        self._device_cache = None
+        return old_to_new
+
     def device_arrays(self) -> dict:
         """The frame's feature arrays as device (jnp) arrays, uploaded once.
 

@@ -67,6 +67,7 @@ class LoopClosing:
         self.last_loop_kf_id = -1
         self.n_loops_closed = 0
         self.stats = {"db_candidates": 0, "consistent": 0, "sim3_tried": 0,
+                      "bow_match_fail": 0, "ransac_fail": 0, "refine_fail": 0,
                       "sim3_ok": 0, "guided_fail": 0, "posegraph_distributed": 0}
         self._key = jax.random.PRNGKey(13)
         self.run_global_ba = True
@@ -200,6 +201,7 @@ class LoopClosing:
                 )
             ok = np.asarray(ok)[: len(my)]
             if ok.sum() < 20:
+                self.stats["bow_match_fail"] += 1
                 continue
             idx = np.asarray(idx)[: len(my)]
             my_feat = my[ok]
@@ -211,6 +213,7 @@ class LoopClosing:
             pids1, pids2 = pids1[good], pids2[good]
             n = len(pids1)
             if n < 20:
+                self.stats["bow_match_fail"] += 1
                 continue
 
             # 3D points in each camera frame
@@ -235,6 +238,7 @@ class LoopClosing:
                 fix_scale=self.fix_scale,
             )
             if not bool(res.success):
+                self.stats["ransac_fail"] += 1
                 continue
 
             # SearchBySim3 (src/ORBmatcher.cc:1361, called LoopClosing.cc:344):
@@ -276,6 +280,7 @@ class LoopClosing:
                 fix_scale=self.fix_scale,
             )
             if int(ref.n_inliers) < 20:
+                self.stats["refine_fail"] += 1
                 continue
 
             # s12 maps candidate-camera coords -> current-camera coords;

@@ -74,6 +74,7 @@ class System:
         async_mapping: bool = False,
         tracer=None,
         mesh=None,
+        init_feature_boost: float = 2.0,
     ):
         self.camera = camera
         self.sensor = sensor
@@ -95,6 +96,18 @@ class System:
             scale_factor=self.cfg.scale_factor,
             n_levels=self.cfg.n_levels,
         )
+        # monocular initialization uses a DOUBLED feature budget (reference
+        # mpIniORBextractor = 2 * nFeatures, src/Tracking.cc:121-126) so
+        # feature-poor scenes still reach the >=100-match init gate; the two
+        # init frames are compacted back to the standard capacity once the
+        # map is created (Frame.compact_to)
+        self._init_extractor = None
+        if sensor == Sensor.MONOCULAR and init_feature_boost > 1.0:
+            self._init_extractor = ORBExtractor(
+                n_features=int(self.cfg.n_features * init_feature_boost),
+                scale_factor=self.cfg.scale_factor,
+                n_levels=self.cfg.n_levels,
+            )
         # map_lock == reference Map::mMutexMapUpdate (include/Map.h:114):
         # held by Tracking's map section and by the async mapping worker.
         # Uncontended (and negligible) in the default synchronous pipeline.
@@ -206,7 +219,13 @@ class System:
         img = np.asarray(image)
         if img.ndim == 3:
             img = img.mean(axis=-1)  # grayscale conversion (reference :301-312)
-        feats = self.extractor(img.astype(np.float32))
+        ext = self.extractor
+        if (
+            self._init_extractor is not None
+            and self.tracking.state == TrackingState.NOT_INITIALIZED
+        ):
+            ext = self._init_extractor  # 2x budget while initializing
+        feats = ext(img.astype(np.float32))
         frame = Frame(feats, self.camera, timestamp, self.cfg.scale_factor, self.cfg.n_levels)
         if self.camera.has_distortion:
             frame.uv_und = np.asarray(self.camera.undistort_points(jnp.asarray(frame.uv)))

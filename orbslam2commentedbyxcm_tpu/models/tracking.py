@@ -264,7 +264,20 @@ class Tracking:
             obj.level = jnp.asarray(fr.level)
             obj.angle = jnp.asarray(fr.angle)
             obj.valid = jnp.asarray(fr.valid)
-        idx, dist, ok = matching.search_for_initialization(fa, fb, window=100.0)
+        # doubled init budget (System's init extractor == the reference's
+        # mpIniORBextractor, src/Tracking.cc:121-126). Documented deviation
+        # from the reference's level-0-only SearchForInitialization
+        # (src/ORBmatcher.cc:539): levels <= 1 are admitted — at small
+        # resolutions the per-cell selector yields too few level-0 corners
+        # and level-0-only starves the >=min_init_matches gate (measured:
+        # 55-91 matches vs 150+ with level 1 admitted on the 320x240
+        # synthetic suite; the init map shrank 100+ -> 51 points and
+        # tracking was lost)
+        std_cap = getattr(self.extractor, "capacity", frame.capacity)
+        boosted = frame.capacity > std_cap
+        idx, dist, ok = matching.search_for_initialization(
+            fa, fb, window=100.0, max_level=1
+        )
         ok_np = np.asarray(ok)
         if ok_np.sum() < cfg.min_init_matches:
             self.init_ref_frame = frame
@@ -293,17 +306,36 @@ class Tracking:
 
         ref.set_pose(np.eye(4, dtype=np.float32))
         frame.set_pose(t21)
+
+        idx_np = np.asarray(idx)
+        pairs = [(int(i), int(idx_np[i])) for i in np.nonzero(tri_ok & ok_np)[0]]
+        pts_by_ref = {i: pts[i] for i, _ in pairs}
+        rmap = fmap = None
+        if boosted:
+            # compact both 2x-budget init frames back to the standard
+            # capacity (matched features first) so keyframe array shapes
+            # stay uniform for the batched mapping/fuse programs
+            pri_ref = np.zeros(ref.capacity, bool)
+            pri_ref[[i for i, _ in pairs]] = True
+            pri_fr = np.zeros(frame.capacity, bool)
+            pri_fr[[j for _, j in pairs]] = True
+            rmap = ref.compact_to(std_cap, pri_ref)
+            fmap = frame.compact_to(std_cap, pri_fr)
+
         kf1 = self.map.add_keyframe(ref)
         kf2 = self.map.add_keyframe(frame)
         self.map.origin_kf_id = kf1.kf_id
 
-        idx_np = np.asarray(idx)
-        for i in np.nonzero(tri_ok & ok_np)[0]:
-            pid = self.map.add_point(pts[i], ref.desc[i], kf1.kf_id)
-            self.map.add_observation(pid, kf1.kf_id, int(i))
-            self.map.add_observation(pid, kf2.kf_id, int(idx_np[i]))
-            frame.map_pt[idx_np[i]] = pid
-            ref.map_pt[i] = pid
+        for i, j in pairs:
+            ri = i if rmap is None else int(rmap[i])
+            fj = j if fmap is None else int(fmap[j])
+            if ri < 0 or fj < 0:
+                continue
+            pid = self.map.add_point(pts_by_ref[i], ref.desc[ri], kf1.kf_id)
+            self.map.add_observation(pid, kf1.kf_id, ri)
+            self.map.add_observation(pid, kf2.kf_id, fj)
+            frame.map_pt[fj] = pid
+            ref.map_pt[ri] = pid
             self.map.update_point_descriptor(pid)
             self.map.update_point_normal_depth(pid)
         self.map.update_connections(kf1)

@@ -162,6 +162,11 @@ class BoxSequence:
     # orbit: circle looking outward (loopy indoor, default)
     # line:  straight run along +z looking forward (KITTI-like corridor)
     # sway:  oscillating partial orbit, revisiting repeatedly (EuRoC-like hover)
+    # eight: figure-eight over two tangent circles, forward-looking; the
+    #        re-entry into the first lobe happens after a full away-lobe, so
+    #        the old keyframes are no longer covisibility-connected and only
+    #        place recognition can close the loop (sway's revisits, by
+    #        contrast, stay connected and never exercise the loop detector)
     trajectory: str = "orbit"
 
     def __post_init__(self):
@@ -196,6 +201,26 @@ class BoxSequence:
             theta = (np.pi * self.turns) * np.sin(2 * np.pi * 2.5 * t)
             c = self.radius * np.array([np.sin(theta), 0.0, np.cos(theta)])
             c[1] = 0.15 * np.sin(5 * np.pi * t)
+        elif self.trajectory == "eight":
+            # figure-eight: lobe A (ccw), lobe B (cw, tangent at the origin),
+            # then 0.35 revolution back into lobe A — a genuine
+            # place-recognition loop closure on re-entry
+            r = self.radius
+            srev = (2.0 + 0.35) * t
+            if srev < 1.0:
+                a = 2 * np.pi * srev
+                c2d = np.array([-r + r * np.cos(a), r * np.sin(a)])
+                theta = -a
+            elif srev < 2.0:
+                b = 2 * np.pi * (srev - 1.0)
+                c2d = np.array([r - r * np.cos(b), r * np.sin(b)])
+                theta = b
+            else:
+                a = 2 * np.pi * (srev - 2.0)
+                c2d = np.array([-r + r * np.cos(a), r * np.sin(a)])
+                theta = -a
+            c = np.array([c2d[0], 0.0, c2d[1]])
+            c[1] = 0.1 * np.sin(4 * np.pi * t)
         else:  # orbit
             theta = 2 * np.pi * self.turns * t
             c = self.radius * np.array([np.sin(theta), 0.0, np.cos(theta)])
