@@ -661,6 +661,10 @@ class LocalMapping:
                 problem, cam, n_iters,
                 abort_check=(lambda: self.abort_ba) if interruptible else None,
             )
+            # force the (async-dispatched) solve to complete inside the
+            # device span — otherwise the wait surfaces in write_back's
+            # np.asarray and is misattributed to host bookkeeping
+            np.asarray(res.poses)
         write_back_ba(m, problem, res)
 
 
