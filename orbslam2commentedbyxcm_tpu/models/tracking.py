@@ -493,10 +493,12 @@ class Tracking:
         pids = pids[:n]
         key = None
         if extra is None:
-            key = (self.map.pt_version, pids.tobytes())
-            hit = self._pack_cache.get(cap)
-            if hit is not None and hit[0] == key:
-                return hit[1]
+            # id(map) guards against reset/load_map swapping in a fresh Map
+            # whose version counter restarts at 0
+            key = (id(self.map), cap, self.map.pt_version, pids.tobytes())
+            hit = self._pack_cache.get(key)
+            if hit is not None:
+                return hit
         xyz, desc, normal, dmin, dmax, mask = self.map.pack_points(pids, cap)
         slot_to_pid = np.full(cap, -1, np.int64)
         slot_to_pid[:n] = pids
@@ -516,7 +518,12 @@ class Tracking:
             jnp.asarray(dmin), jnp.asarray(dmax), jnp.asarray(mask),
             slot_to_pid,
         )
-        self._pack_cache[cap] = (key, out)
+        # small LRU: the motion-model and local-map stages have distinct pid
+        # sets under the same capacity bucket; one slot per cap would let the
+        # per-frame motion set evict the stable local-map pack every frame
+        while len(self._pack_cache) >= 8:
+            self._pack_cache.pop(next(iter(self._pack_cache)))
+        self._pack_cache[key] = out
         return out
 
     def _match_and_optimize(self, frame: Frame, pids, t_pred, radius, cap=LOCAL_POINT_CAP,
