@@ -135,10 +135,20 @@ class AsyncLoopClosing(_AsyncStage):
                 if kf_id is None:
                     return
                 kf = self.inner.prepare_keyframe(kf_id)  # NO map lock
-                if kf is not None:
-                    with self.lock:
-                        if not kf.bad:  # may have been culled meanwhile
-                            self.inner.process_prepared(kf)
+                if kf is None:
+                    continue
+                with self.lock:
+                    candidates = (
+                        [] if kf.bad else self.inner.detect_candidates(kf)
+                    )
+                # per-candidate Sim3 geometry: expensive, usually a
+                # rejection — deliberately outside the lock
+                found = (
+                    self.inner.try_close(kf, candidates) if candidates else None
+                )
+                with self.lock:
+                    if not kf.bad:  # may have been culled meanwhile
+                        self.inner.finalize(kf, found)
             except Exception:  # keep draining; see _AsyncStage docstring
                 traceback.print_exc()
             finally:

@@ -147,7 +147,9 @@ class KeyFrameDatabase:
             return []
         th = 0.75 * max(g[0] for g in group_scores)
         out, seen = [], set()
-        for acc, kf_id in group_scores:
+        # best-group-first ordering: LoopClosing caps Sim3 attempts per
+        # keyframe, so the most likely candidate must be tried first
+        for acc, kf_id in sorted(group_scores, key=lambda g: -g[0]):
             if acc > th and kf_id not in seen:
                 seen.add(kf_id)
                 out.append(kf_id)

@@ -114,14 +114,49 @@ class LoopClosing:
 
     def process_prepared(self, kf: KeyFrame):
         """Detection / Sim3 / correction + DB registration for a prepared
-        keyframe. Touches shared map state and the native inverted index
-        (mutated by the mapping worker's erase hooks), so the async worker
-        calls this under the map lock."""
-        candidates = self._detect_loop(kf)
-        if candidates:
-            ok, loop_kf_id, s_cur_corr, loop_pids = self._compute_sim3(kf, candidates)
-            if ok:
-                self._correct_loop(kf, loop_kf_id, s_cur_corr, loop_pids)
+        keyframe (the synchronous path runs the three phases back-to-back;
+        the async worker interleaves them with the map lock — see
+        AsyncLoopClosing)."""
+        candidates = self.detect_candidates(kf)
+        found = self.try_close(kf, candidates) if candidates else None
+        self.finalize(kf, found)
+
+    def detect_candidates(self, kf: KeyFrame) -> list[int]:
+        """Phase 1 — candidate retrieval + consistency. Cheap host work, but
+        touches the native inverted index and the covisibility graph
+        (mutated by the mapping worker), so the async worker runs it under
+        the map lock."""
+        return self._detect_loop(kf)
+
+    def try_close(self, kf: KeyFrame, candidates: list[int]):
+        """Phase 2 — per-candidate BoW matching + Sim3 RANSAC + refine: the
+        EXPENSIVE device part, and on busy sequences almost always a
+        rejection (the stressed orbit fires hundreds of candidate attempts
+        for one real loop). Reads only numpy map arrays and immutable KF
+        features, so the async worker runs it WITHOUT the map lock — the
+        reference likewise runs all of DetectLoop/ComputeSim3 lock-free and
+        takes the map mutex only inside CorrectLoop
+        (/root/reference/src/LoopClosing.cc:497). Returns (cand_id,
+        s_cur_corr) or None."""
+        return self._compute_sim3_geom(kf, candidates)
+
+    def finalize(self, kf: KeyFrame, found) -> None:
+        """Phase 3 — guided >=40 gate + loop correction + DB registration,
+        under the map lock (mutates the map; the guided search walks the
+        native observation index). Deviation from the reference: a guided-
+        gate failure abandons the keyframe's remaining candidates instead of
+        continuing the candidate loop — measured guided_fail is ~0."""
+        if found is not None:
+            cand_id, s_cur_corr = found
+            ckf = self.map.keyframes.get(cand_id)
+            if ckf is not None and not ckf.bad and not kf.bad:
+                group = set(ckf.best_covisible()) | {cand_id}
+                loop_pids = self.map.points_seen_by(group)
+                self.stats["sim3_ok"] += 1
+                if self._count_guided_matches(kf, s_cur_corr, loop_pids) >= 40:
+                    self._correct_loop(kf, cand_id, s_cur_corr, loop_pids)
+                else:
+                    self.stats["guided_fail"] += 1
         self.db.add(kf.kf_id, kf.bow_vec[0], kf.bow_vec[1])
 
     # -- detection ---------------------------------------------------------
@@ -165,7 +200,7 @@ class LoopClosing:
 
     # -- Sim3 --------------------------------------------------------------
 
-    def _compute_sim3(self, kf: KeyFrame, candidates: list[int]):
+    def _compute_sim3_geom(self, kf: KeyFrame, candidates: list[int]):
         cam = self.camera
         for cand_id in candidates[:5]:
             self.stats["sim3_tried"] += 1
@@ -285,19 +320,9 @@ class LoopClosing:
 
             # s12 maps candidate-camera coords -> current-camera coords;
             # corrected current pose: S_cw = S12 * T_candidate_cw
-            s_cand = _sim3_np(ckf.t_cw)
-            s_cur_corr = np.asarray(ref.s12) @ s_cand
-
-            # guided search: project the loop group's points into the current
-            # KF with the corrected pose; require >= 40 total matches
-            group = set(ckf.best_covisible()) | {cand_id}
-            loop_pids = self.map.points_seen_by(group)
-            self.stats["sim3_ok"] += 1
-            n_total = self._count_guided_matches(kf, s_cur_corr, loop_pids)
-            if n_total >= 40:
-                return True, cand_id, s_cur_corr, loop_pids
-            self.stats["guided_fail"] += 1
-        return False, -1, None, None
+            s_cur_corr = np.asarray(ref.s12) @ _sim3_np(ckf.t_cw)
+            return cand_id, s_cur_corr
+        return None
 
     def _search_by_sim3(self, kf: KeyFrame, ckf: KeyFrame, s12, my, their,
                         my_feat, their_feat):
