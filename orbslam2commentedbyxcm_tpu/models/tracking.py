@@ -652,6 +652,18 @@ class Tracking:
             frame, pids, t_pred, self.cfg.motion_search_radius, extra=extra,
             pt_angle=pt_angle,
         )
+        if n < 20:
+            # widened retry (reference TrackWithMotionModel,
+            # src/Tracking.cc:986-993: clear the assignments and search again
+            # with 2x the window) — rescues frames where occlusion or
+            # exposure swing thinned the narrow-window matches
+            frame.map_pt[:] = -1
+            frame.is_outlier[:] = False
+            frame.set_pose(t_pred)
+            n, _ = self._match_and_optimize(
+                frame, pids, t_pred, 2.0 * self.cfg.motion_search_radius,
+                extra=extra, pt_angle=pt_angle,
+            )
         if self.localization_only:
             # VO mode when the pose rests on < 10 real map points (ref :1010)
             self.vo_mode = self._last_n_map < 10
