@@ -141,10 +141,17 @@ class AsyncLoopClosing(_AsyncStage):
                     candidates = (
                         [] if kf.bad else self.inner.detect_candidates(kf)
                     )
+                    snapshot = (
+                        self.inner.snapshot_for_closure(kf, candidates)
+                        if candidates else None
+                    )
                 # per-candidate Sim3 geometry: expensive, usually a
-                # rejection — deliberately outside the lock
+                # rejection — deliberately outside the lock, on the
+                # consistent snapshot taken above (the mapping worker keeps
+                # mutating the live map meanwhile)
                 found = (
-                    self.inner.try_close(kf, candidates) if candidates else None
+                    self.inner.try_close(kf, candidates, snapshot=snapshot)
+                    if candidates else None
                 )
                 with self.lock:
                     if not kf.bad:  # may have been culled meanwhile

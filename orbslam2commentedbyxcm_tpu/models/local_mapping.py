@@ -679,13 +679,18 @@ def assemble_ba_problem(m: Map, local_set, fixed_ids=None):
     if len(pids) < 8 or len(local_set) == 0:
         return None
 
-    # second ring = observers of local points not in local set
+    # ONE observer-CSR pass feeds both the second-ring discovery and the
+    # edge assembly (was: an O(E) Python dict walk for the ring, then a
+    # second CSR export plus per-edge dict lookups)
+    pid_idx, kf_arr, ft_arr = m._observer_csr(pids)
+    live = np.fromiter(
+        (int(k) in m.keyframes for k in np.unique(kf_arr)), bool,
+    ) if len(kf_arr) else np.zeros(0, bool)
+    uniq_kf = np.unique(kf_arr) if len(kf_arr) else np.zeros(0, np.int64)
+    uniq_kf = uniq_kf[live]
+
     in_local = set(local_set)
-    ring2 = set()
-    for pid in pids:
-        for kf_id in m.obs.get(int(pid), {}):
-            if kf_id not in in_local:
-                ring2.add(kf_id)
+    ring2 = set(int(k) for k in uniq_kf) - in_local
     all_ids = list(local_set) + sorted(ring2)
     if fixed_ids is None:
         fixed = {i for i in ring2}
@@ -697,7 +702,6 @@ def assemble_ba_problem(m: Map, local_set, fixed_ids=None):
         fixed.add(all_ids[0])
 
     kf_slot = {kf_id: s for s, kf_id in enumerate(all_ids)}
-    pid_slot = {int(p): s for s, p in enumerate(pids)}
 
     k_cap = _bucket(len(all_ids), 8)
     p_cap = _bucket(len(pids), 256)
@@ -713,16 +717,19 @@ def assemble_ba_problem(m: Map, local_set, fixed_ids=None):
     points[: len(pids)] = m.pt_xyz[pids]
     point_valid[: len(pids)] = True
 
-    # vectorized edge assembly: one observer-CSR pass, then per-observing-KF
-    # gathers (uv / u_right / inv_sigma2) instead of a Python loop per edge
-    pid_idx, kf_arr, ft_arr = m._observer_csr(pids)
-    in_graph = np.fromiter((int(k) in kf_slot for k in kf_arr), bool,
-                           count=len(kf_arr)) if len(kf_arr) else np.zeros(0, bool)
-    pid_idx, kf_arr, ft_arr = pid_idx[in_graph], kf_arr[in_graph], ft_arr[in_graph]
+    # vectorized slot mapping: kf_id -> graph slot via sorted lookup table
+    ids_arr = np.asarray(all_ids, np.int64)
+    order = np.argsort(ids_arr)
+    pos = np.searchsorted(ids_arr[order], kf_arr) if len(kf_arr) else np.zeros(0, np.int64)
+    pos = np.minimum(pos, len(ids_arr) - 1)
+    in_graph = (ids_arr[order][pos] == kf_arr) if len(kf_arr) else np.zeros(0, bool)
+    pid_idx, kf_arr, ft_arr, pos = (
+        pid_idx[in_graph], kf_arr[in_graph], ft_arr[in_graph], pos[in_graph]
+    )
     ne = len(pid_idx)
     if ne < 8:
         return None
-    obs_pose = np.fromiter((kf_slot[int(k)] for k in kf_arr), np.int32, count=ne)
+    obs_pose = order[pos].astype(np.int32)
     obs_point = pid_idx.astype(np.int32)
     obs_uvr = np.empty((ne, 3), np.float32)
     obs_sig = np.empty(ne, np.float32)
@@ -733,7 +740,6 @@ def assemble_ba_problem(m: Map, local_set, fixed_ids=None):
         obs_uvr[sel, :2] = okf.uv_und[ft]
         obs_uvr[sel, 2] = okf.u_right[ft]
         obs_sig[sel] = okf.inv_sigma2()[ft]
-    obs_feat = list(zip(kf_arr.tolist(), pids[pid_idx].tolist(), ft_arr.tolist()))
     e_cap = _bucket(len(obs_pose), 1024)
     op = np.zeros(e_cap, np.int32)
     opt_ = np.zeros(e_cap, np.int32)
@@ -741,7 +747,6 @@ def assemble_ba_problem(m: Map, local_set, fixed_ids=None):
     ouv[:, 2] = -1.0
     osig = np.ones(e_cap, np.float32)
     omask = np.zeros(e_cap, bool)
-    ne = len(obs_pose)
     op[:ne] = obs_pose
     opt_[:ne] = obs_point
     ouv[:ne] = obs_uvr
@@ -751,7 +756,9 @@ def assemble_ba_problem(m: Map, local_set, fixed_ids=None):
         "kf_slot": kf_slot, "pids": pids, "poses": poses,
         "pose_fixed": pose_fixed, "points": points, "point_valid": point_valid,
         "op": op, "opt": opt_, "ouv": ouv, "osig": osig, "omask": omask,
-        "obs_feat": obs_feat, "ne": ne,
+        # edge provenance arrays for outlier erasure (kf id, pid, feat idx)
+        "obs_kf": kf_arr, "obs_pid": pids[pid_idx], "obs_ft": ft_arr,
+        "ne": ne,
     }
 
 
@@ -813,6 +820,5 @@ def write_back_ba(m: Map, problem, res):
     m.pt_xyz[pids] = out_points[: len(pids)]
     m.pt_version += 1  # direct pt_xyz write: invalidate tracking's pack cache
     for e in np.nonzero(~inl[: problem["ne"]])[0]:
-        kf_id, pid, feat_idx = problem["obs_feat"][e]
-        m.erase_observation(pid, kf_id)
+        m.erase_observation(int(problem["obs_pid"][e]), int(problem["obs_kf"][e]))
     m.update_points_batch(pids)

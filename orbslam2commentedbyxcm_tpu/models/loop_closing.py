@@ -53,6 +53,33 @@ def _sim3_to_se3_np(m: np.ndarray) -> np.ndarray:
     return t_cw
 
 
+class _MapView:
+    """Frozen copies of the point attributes the lock-free Sim3 phase reads
+    (build under the map lock; the mapping worker keeps mutating the live
+    arrays while the candidate geometry runs on this snapshot)."""
+
+    def __init__(self, m):
+        n = m.n_points
+        self.pt_xyz = m.pt_xyz[:n].copy()
+        self.pt_valid = m.pt_valid[:n].copy()
+        self.pt_desc = m.pt_desc[:n].copy()
+        self.pt_dmax = m.pt_dmax[:n].copy()
+
+
+class _KFView:
+    """Keyframe proxy with frozen map_pt/pose; immutable feature arrays
+    (uv/desc/level/bow nodes) pass through to the live object."""
+
+    def __init__(self, kf):
+        self._kf = kf
+        self.kf_id = kf.kf_id
+        self.map_pt = kf.map_pt.copy()
+        self.t_cw = kf.t_cw.copy()
+
+    def __getattr__(self, k):
+        return getattr(self._kf, k)
+
+
 class LoopClosing:
     def __init__(self, world_map, camera, keyframe_db=None, vocabulary=None,
                  fix_scale: bool = False, covisibility_consistency_th: int = 3,
@@ -128,7 +155,7 @@ class LoopClosing:
         the map lock."""
         return self._detect_loop(kf)
 
-    def try_close(self, kf: KeyFrame, candidates: list[int]):
+    def try_close(self, kf: KeyFrame, candidates: list[int], snapshot=None):
         """Phase 2 — per-candidate BoW matching + Sim3 RANSAC + refine: the
         EXPENSIVE device part, and on busy sequences almost always a
         rejection (the stressed orbit fires hundreds of candidate attempts
@@ -138,7 +165,25 @@ class LoopClosing:
         takes the map mutex only inside CorrectLoop
         (/root/reference/src/LoopClosing.cc:497). Returns (cand_id,
         s_cur_corr) or None."""
-        return self._compute_sim3_geom(kf, candidates)
+        if snapshot is None:
+            m = self.map
+            cand_views = {
+                c: ck for c in candidates
+                if (ck := m.keyframes.get(c)) is not None and not ck.bad
+            }
+            return self._compute_sim3_geom(m, kf, cand_views, candidates)
+        mv, kfv, cand_views = snapshot
+        return self._compute_sim3_geom(mv, kfv, cand_views, candidates)
+
+    def snapshot_for_closure(self, kf: KeyFrame, candidates: list[int]):
+        """Consistent copies of everything the Sim3 phase reads — call under
+        the map lock; `try_close` then runs lock-free on the snapshot."""
+        m = self.map
+        cand_views = {
+            c: _KFView(ck) for c in candidates
+            if (ck := m.keyframes.get(c)) is not None and not ck.bad
+        }
+        return _MapView(m), _KFView(kf), cand_views
 
     def finalize(self, kf: KeyFrame, found) -> None:
         """Phase 3 — guided >=40 gate + loop correction + DB registration,
@@ -200,12 +245,15 @@ class LoopClosing:
 
     # -- Sim3 --------------------------------------------------------------
 
-    def _compute_sim3_geom(self, kf: KeyFrame, candidates: list[int]):
+    def _compute_sim3_geom(self, m, kf, cand_views: dict, candidates: list[int]):
+        """Per-candidate BoW match + Sim3 RANSAC + SearchBySim3 + refine.
+        `m` is either the live Map or a _MapView snapshot; `cand_views` maps
+        candidate id -> (live KeyFrame | _KFView)."""
         cam = self.camera
         for cand_id in candidates[:5]:
             self.stats["sim3_tried"] += 1
-            ckf = self.map.keyframes.get(cand_id)
-            if ckf is None or ckf.bad:
+            ckf = cand_views.get(cand_id)
+            if ckf is None:
                 continue
             # mutual descriptor matching between the two KFs' map points
             # (SearchByBoW KF<->KF, src/ORBmatcher.cc:696: BoW grouping nodes
@@ -243,7 +291,7 @@ class LoopClosing:
             their_feat = their[idx[ok]]
             pids1 = kf.map_pt[my_feat]
             pids2 = ckf.map_pt[their_feat]
-            good = self.map.pt_valid[pids1] & self.map.pt_valid[pids2]
+            good = m.pt_valid[pids1] & m.pt_valid[pids2]
             my_feat, their_feat = my_feat[good], their_feat[good]
             pids1, pids2 = pids1[good], pids2[good]
             n = len(pids1)
@@ -252,8 +300,8 @@ class LoopClosing:
                 continue
 
             # 3D points in each camera frame
-            p1 = self.map.pt_xyz[pids1] @ kf.t_cw[:3, :3].T + kf.t_cw[:3, 3]
-            p2 = self.map.pt_xyz[pids2] @ ckf.t_cw[:3, :3].T + ckf.t_cw[:3, 3]
+            p1 = m.pt_xyz[pids1] @ kf.t_cw[:3, :3].T + kf.t_cw[:3, 3]
+            p2 = m.pt_xyz[pids2] @ ckf.t_cw[:3, :3].T + ckf.t_cw[:3, 3]
             from orbslam2commentedbyxcm_tpu.models.frame import level_sigma2
 
             lvl_sig = level_sigma2(kf.n_levels, kf.scale_factor)
@@ -280,7 +328,7 @@ class LoopClosing:
             # grow the BoW match set with mutual Sim3-guided projection
             # matches before refinement, so borderline loops reach the
             # >=20-inlier gate like the reference
-            new1, new2 = self._search_by_sim3(kf, ckf, res.s12, my, their,
+            new1, new2 = self._search_by_sim3(m, kf, ckf, res.s12, my, their,
                                               my_feat, their_feat)
             if len(new1):
                 my_feat = np.concatenate([my_feat, new1])
@@ -288,8 +336,8 @@ class LoopClosing:
                 pids1 = kf.map_pt[my_feat]
                 pids2 = ckf.map_pt[their_feat]
                 n = len(pids1)
-                p1 = self.map.pt_xyz[pids1] @ kf.t_cw[:3, :3].T + kf.t_cw[:3, 3]
-                p2 = self.map.pt_xyz[pids2] @ ckf.t_cw[:3, :3].T + ckf.t_cw[:3, 3]
+                p1 = m.pt_xyz[pids1] @ kf.t_cw[:3, :3].T + kf.t_cw[:3, 3]
+                p2 = m.pt_xyz[pids2] @ ckf.t_cw[:3, :3].T + ckf.t_cw[:3, 3]
                 sig1 = lvl_sig[kf.level[my_feat]]
                 sig2 = lvl_sig[ckf.level[their_feat]]
                 bn = bucket(n)
@@ -324,12 +372,12 @@ class LoopClosing:
             return cand_id, s_cur_corr
         return None
 
-    def _search_by_sim3(self, kf: KeyFrame, ckf: KeyFrame, s12, my, their,
+    def _search_by_sim3(self, m, kf, ckf, s12, my, their,
                         my_feat, their_feat):
         """Host wrapper for ops/sim3solver.search_by_sim3: packs the two KFs'
         point-carrying feature rows and returns the NEW mutually-agreed pairs
-        (feature indices into kf / ckf) beyond the already-matched set."""
-        m = self.map
+        (feature indices into kf / ckf) beyond the already-matched set.
+        `m` is the live Map or a _MapView snapshot."""
 
         def pack(akf, rows, matched_rows, cap):
             pids = akf.map_pt[rows]
