@@ -95,7 +95,18 @@ class LoopClosing:
         self.n_loops_closed = 0
         self.stats = {"db_candidates": 0, "consistent": 0, "sim3_tried": 0,
                       "bow_match_fail": 0, "ransac_fail": 0, "refine_fail": 0,
-                      "sim3_ok": 0, "guided_fail": 0, "posegraph_distributed": 0}
+                      "sim3_ok": 0, "guided_fail": 0, "cooldown_skip": 0,
+                      "posegraph_distributed": 0}
+        # per-candidate cooldown after a geometric rejection: with a 72k-word
+        # vocabulary the detector re-surfaces the same appearance-similar
+        # (but geometrically wrong) regions on nearly every keyframe — the
+        # stressed orbit fires ~600 Sim3 RANSAC attempts for ONE real loop,
+        # each costing device dispatches on the loop worker. A failed
+        # candidate is skipped for the next few keyframes; the true loop
+        # region retries after the cooldown. (The reference has no such memo
+        # — its 1M-word ORBvoc keeps candidate sets small to begin with.)
+        self._sim3_cooldown: dict[int, int] = {}
+        self.sim3_cooldown_kfs = 3
         self._key = jax.random.PRNGKey(13)
         self.run_global_ba = True
         # device mesh: essential-graph solves with >= dist_min_vertices
@@ -251,6 +262,9 @@ class LoopClosing:
         candidate id -> (live KeyFrame | _KFView)."""
         cam = self.camera
         for cand_id in candidates[:5]:
+            if self._sim3_cooldown.get(cand_id, -1) > kf.kf_id:
+                self.stats["cooldown_skip"] += 1
+                continue
             self.stats["sim3_tried"] += 1
             ckf = cand_views.get(cand_id)
             if ckf is None:
@@ -285,6 +299,7 @@ class LoopClosing:
             ok = np.asarray(ok)[: len(my)]
             if ok.sum() < 20:
                 self.stats["bow_match_fail"] += 1
+                self._sim3_cooldown[cand_id] = kf.kf_id + self.sim3_cooldown_kfs
                 continue
             idx = np.asarray(idx)[: len(my)]
             my_feat = my[ok]
@@ -297,6 +312,7 @@ class LoopClosing:
             n = len(pids1)
             if n < 20:
                 self.stats["bow_match_fail"] += 1
+                self._sim3_cooldown[cand_id] = kf.kf_id + self.sim3_cooldown_kfs
                 continue
 
             # 3D points in each camera frame
@@ -322,6 +338,7 @@ class LoopClosing:
             )
             if not bool(res.success):
                 self.stats["ransac_fail"] += 1
+                self._sim3_cooldown[cand_id] = kf.kf_id + self.sim3_cooldown_kfs
                 continue
 
             # SearchBySim3 (src/ORBmatcher.cc:1361, called LoopClosing.cc:344):
@@ -364,6 +381,7 @@ class LoopClosing:
             )
             if int(ref.n_inliers) < 20:
                 self.stats["refine_fail"] += 1
+                self._sim3_cooldown[cand_id] = kf.kf_id + self.sim3_cooldown_kfs
                 continue
 
             # s12 maps candidate-camera coords -> current-camera coords;
