@@ -35,21 +35,30 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def _augment(img, i, rng):
+def _augment(img, i, rng, mode="full"):
     """Exposure drift + a moving occluding panel (GT unaffected: the occluder
-    simply hides features, mimicking dynamic foreground objects)."""
-    gain = 1.0 + 0.25 * float(np.sin(2 * np.pi * i / 310.0))
-    out = np.clip(img * gain + 8.0 * float(np.sin(2 * np.pi * i / 97.0)), 0, 255)
-    h, w = out.shape
-    ow = w // 6
-    x0 = int((np.sin(2 * np.pi * i / 450.0) * 0.5 + 0.5) * (w - ow))
-    y0 = int((np.cos(2 * np.pi * i / 530.0) * 0.5 + 0.5) * (h - ow))
-    out[y0:y0 + ow, x0:x0 + ow] = 40.0 + 20.0 * rng.random((ow, ow))
+    simply hides features, mimicking dynamic foreground objects).
+
+    mode: "full" | "exposure" | "occluder" — partial modes attribute the
+    stressed-accuracy gap between the two perturbation families.
+    """
+    out = img
+    if mode in ("full", "exposure"):
+        gain = 1.0 + 0.25 * float(np.sin(2 * np.pi * i / 310.0))
+        out = np.clip(out * gain + 8.0 * float(np.sin(2 * np.pi * i / 97.0)), 0, 255)
+    if mode in ("full", "occluder"):
+        out = np.array(out, copy=True)
+        h, w = out.shape
+        ow = w // 6
+        x0 = int((np.sin(2 * np.pi * i / 450.0) * 0.5 + 0.5) * (w - ow))
+        y0 = int((np.cos(2 * np.pi * i / 530.0) * 0.5 + 0.5) * (h - ow))
+        out[y0:y0 + ow, x0:x0 + ow] = 40.0 + 20.0 * rng.random((ow, ow))
     return out.astype(np.float32)
 
 
 def run_sequence(name, frames, augment=True, save_traj=None,
-                 async_mapping=True, camera=None, n_features=1000):
+                 async_mapping=True, camera=None, n_features=1000,
+                 augment_mode="full"):
     from orbslam2commentedbyxcm_tpu.models.system import Sensor, System
     from orbslam2commentedbyxcm_tpu.models.tracking import TrackingConfig
     from orbslam2commentedbyxcm_tpu.utils.evaluation import (
@@ -92,13 +101,13 @@ def run_sequence(name, frames, augment=True, save_traj=None,
         tr = time.perf_counter()
         img = seq.render(i)
         if augment:
-            img = _augment(img, i, rng)
+            img = _augment(img, i, rng, augment_mode)
         if sensor == Sensor.RGBD:
             aux = seq.depth_map(i)
         else:
             aux = seq.render_right(i)
             if augment:
-                aux = _augment(aux, i, rng)
+                aux = _augment(aux, i, rng, augment_mode)
         t_render += time.perf_counter() - tr
         if sensor == Sensor.RGBD:
             p = system.track_rgbd(img, aux, i / 30.0)
@@ -167,6 +176,8 @@ def main():
                     default=None)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--no-augment", action="store_true")
+    ap.add_argument("--augment-mode", choices=("full", "exposure", "occluder"),
+                    default="full")
     ap.add_argument("--sync", action="store_true",
                     help="synchronous pipeline (default: async workers)")
     ap.add_argument("--out", default=None)
@@ -193,6 +204,7 @@ def main():
             name, args.frames, augment=not args.no_augment,
             save_traj=(f"{args.save_traj}_{name}.npz" if args.save_traj else None),
             async_mapping=not args.sync,
+            augment_mode=args.augment_mode,
         )
         print(json.dumps(rec))
         report.append(rec)

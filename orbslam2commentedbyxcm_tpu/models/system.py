@@ -95,6 +95,7 @@ class System:
             n_features=self.cfg.n_features,
             scale_factor=self.cfg.scale_factor,
             n_levels=self.cfg.n_levels,
+            normalize_exposure=self.cfg.normalize_exposure,
         )
         # monocular initialization uses a DOUBLED feature budget (reference
         # mpIniORBextractor = 2 * nFeatures, src/Tracking.cc:121-126) so
@@ -107,6 +108,7 @@ class System:
                 n_features=int(self.cfg.n_features * init_feature_boost),
                 scale_factor=self.cfg.scale_factor,
                 n_levels=self.cfg.n_levels,
+                normalize_exposure=self.cfg.normalize_exposure,
             )
         # map_lock == reference Map::mMutexMapUpdate (include/Map.h:114):
         # held by Tracking's map section and by the async mapping worker.

@@ -55,6 +55,10 @@ class TrackingConfig:
     motion_search_radius: float = 15.0
     localmap_search_radius: float = 4.0
     depth_th: float = 35.0  # close/far stereo threshold in baseline units
+    # Gain-normalize images before FAST so exposure drift does not churn the
+    # detected corner set (ops/orb.py ORBExtractor.normalize_exposure); the
+    # reference's fixed 20/7 thresholds assume constant camera exposure.
+    normalize_exposure: bool = True
 
 
 @functools.partial(jax.jit, static_argnames=("n_levels",))

@@ -226,6 +226,8 @@ class ORBExtractor:
         cell_size: int = 32,
         per_cell_k: int = 4,
         use_pallas: bool | None = None,
+        normalize_exposure: bool = False,
+        exposure_target_mad: float = 18.0,
     ):
         self.n_features = n_features
         self.scale_factor = scale_factor
@@ -240,6 +242,16 @@ class ORBExtractor:
 
             use_pallas = _jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
+        # Exposure-gain normalization: FAST's absolute thresholds (20/7,
+        # reference src/ORBextractor.cc:1017) assume a nominal 8-bit scene
+        # contrast; under camera gain drift the corner response V scales with
+        # gain and the detected set churns frame-to-frame. Descriptors and
+        # orientation are intensity-COMPARISON based (gain-invariant), so
+        # rescaling the image to a fixed mean-absolute-deviation stabilizes
+        # detection without changing descriptor semantics. Off by default
+        # (bit-compatible with the reference); the live System enables it.
+        self.normalize_exposure = bool(normalize_exposure)
+        self.exposure_target_mad = float(exposure_target_mad)
 
         self.scales = [scale_factor**l for l in range(n_levels)]
         # Geometric per-level budgets (reference src/ORBextractor.cc:485-500).
@@ -278,6 +290,7 @@ class ORBExtractor:
         return (
             self.n_features, self.scale_factor, self.n_levels, self.ini_th,
             self.min_th, self.cell_size, self.per_cell_k, self.use_pallas,
+            self.normalize_exposure, self.exposure_target_mad,
         )
 
     def __call__(self, image) -> FrameFeatures:
@@ -301,6 +314,12 @@ class ORBExtractor:
         )
 
         h, w = shape
+        if self.normalize_exposure:
+            # Rescale contrast about the mean so MAD(img) == target; offsets
+            # cancel inside FAST/BRIEF differences, only the gain matters.
+            mu = jnp.mean(img)
+            mad = jnp.mean(jnp.abs(img - mu))
+            img = (img - mu) * (self.exposure_target_mad / jnp.maximum(mad, 1e-3)) + mu
         outs = []
         level_img = img
         for lvl in range(self.n_levels):

@@ -136,3 +136,38 @@ def test_match_nn_ratio_and_mutual():
     assert list(np.asarray(idx)) == [0, 1]
     assert not bool(ok[0])  # 10 vs second-best 11 fails 0.8 ratio
     assert bool(ok[1])
+
+
+def test_exposure_normalization_survives_low_contrast(rng):
+    """FAST's absolute thresholds (20/7) kill detection when scene contrast
+    collapses (dusk / auto-exposure failure); normalize_exposure rescales to
+    a fixed MAD so the detector stays alive (ops/orb.py).
+
+    At moderate contrast normalization is a near-no-op by design: per-cell
+    top-k selection is ordering-based, and ordering is gain-invariant."""
+    raw = make_texture(rng, 240, 320, 600)
+    # near-flat scene: contrast 5% of nominal, then a 0.7x gain drop
+    img = (100.0 + (raw - raw.mean()) * 0.05) * 0.7 + 6.0
+    img = img.astype(np.float32)
+
+    plain = ORBExtractor(n_features=300)
+    norm = ORBExtractor(n_features=300, normalize_exposure=True)
+    n_plain = int(plain(img).n)
+    f = norm(img)
+    n_norm = int(f.n)
+    assert n_plain < 50, n_plain       # absolute thresholds collapse
+    assert n_norm == norm.capacity, n_norm  # normalized detector is full
+
+    # and the normalized detections land where full-contrast corners are
+    full = norm((100.0 + (raw - raw.mean()) * 1.0).astype(np.float32))
+    def keyset(feat):
+        v = np.asarray(feat.valid)
+        uv = np.round(np.asarray(feat.uv)[v]).astype(int)
+        lv = np.asarray(feat.level)[v]
+        return {(x, y, int(l)) for (x, y), l in zip(uv, lv)}
+    base, low = keyset(full), keyset(f)
+    hit = sum(
+        any((x + dx, y + dy, l) in low for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+        for (x, y, l) in base
+    )
+    assert hit / max(len(base), 1) > 0.85, hit / max(len(base), 1)
