@@ -58,6 +58,10 @@ def load_settings(path: str):
         n_levels=int(g("ORBextractor.nLevels", 8)),
         max_frames_between_kf=int(g("Camera.fps", 30.0)),
         depth_th=g("ThDepth", 35.0),
+        # extension key (not in reference YAMLs, default on): gain-normalize
+        # images before FAST so exposure drift / contrast collapse does not
+        # churn detection (ops/orb.py)
+        normalize_exposure=bool(g("ORBextractor.normalizeExposure", 1.0)),
     )
     extra = {
         "depth_map_factor": g("DepthMapFactor", 5000.0),
