@@ -96,6 +96,7 @@ class System:
             scale_factor=self.cfg.scale_factor,
             n_levels=self.cfg.n_levels,
             normalize_exposure=self.cfg.normalize_exposure,
+            exposure_target_mad=self.cfg.exposure_target_mad,
         )
         # monocular initialization uses a DOUBLED feature budget (reference
         # mpIniORBextractor = 2 * nFeatures, src/Tracking.cc:121-126) so
@@ -109,6 +110,7 @@ class System:
                 scale_factor=self.cfg.scale_factor,
                 n_levels=self.cfg.n_levels,
                 normalize_exposure=self.cfg.normalize_exposure,
+                exposure_target_mad=self.cfg.exposure_target_mad,
             )
         # map_lock == reference Map::mMutexMapUpdate (include/Map.h:114):
         # held by Tracking's map section and by the async mapping worker.

@@ -58,7 +58,11 @@ class TrackingConfig:
     # Gain-normalize images before FAST so exposure drift does not churn the
     # detected corner set (ops/orb.py ORBExtractor.normalize_exposure); the
     # reference's fixed 20/7 thresholds assume constant camera exposure.
+    # `exposure_target_mad` is the contrast (mean absolute deviation) the
+    # frame is rescaled to; it sets how the normalized image interacts with
+    # the fixed 20/7 FAST thresholds.
     normalize_exposure: bool = True
+    exposure_target_mad: float = 18.0
 
 
 @functools.partial(jax.jit, static_argnames=("n_levels",))

@@ -224,15 +224,15 @@ def transform(voc: Vocabulary, descriptors: np.ndarray, valid: np.ndarray, level
 
 
 def bootstrap_vocabulary() -> Vocabulary:
-    """Packaged ~10k-word (k=10, depth=4) vocabulary
-    (assets/bootstrap_vocab.npz, ~370KB) trained offline on this framework's
-    own descriptors over varied synthetic scenes
+    """Packaged vocabulary (assets/bootstrap_vocab.npz) trained offline on
+    this framework's own descriptors over varied synthetic scenes
     (benchmarks/train_bootstrap_vocab.py) — gives instant place recognition
-    without per-run lazy training, with a same-place/different-place score
-    ratio of ~1.7 vs ~1.2 for the earlier 1000-word tree. The reference ships
-    its (much larger) pretrained ORBvoc.txt the same way (src/System.cc:65-75);
+    without per-run lazy training. The reference ships its pretrained
+    ORBvoc.txt (k=10, L=6, ~1M words) the same way (src/System.cc:65-75);
     for a production deployment train a domain vocabulary with
-    utils/vocab_tools.py.
+    utils/vocab_tools.py or import an existing DBoW2 text vocabulary.
+    Check `Vocabulary.k/depth/n_words` for the shipped artifact's actual
+    dimensions — they track the training runs, not this docstring.
     """
     import os
 

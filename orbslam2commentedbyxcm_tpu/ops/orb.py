@@ -317,9 +317,17 @@ class ORBExtractor:
         if self.normalize_exposure:
             # Rescale contrast about the mean so MAD(img) == target; offsets
             # cancel inside FAST/BRIEF differences, only the gain matters.
+            # The gain is capped to [1/8, 8]: an uncapped gain on a near-flat
+            # frame (MAD ~0.5) would amplify uint8 quantization steps past the
+            # FAST 20/7 thresholds and fabricate unstable corners — a truly
+            # flat frame should stay feature-poor, as it does in the
+            # reference's fixed-threshold detector.
             mu = jnp.mean(img)
             mad = jnp.mean(jnp.abs(img - mu))
-            img = (img - mu) * (self.exposure_target_mad / jnp.maximum(mad, 1e-3)) + mu
+            gain = jnp.clip(
+                self.exposure_target_mad / jnp.maximum(mad, 1e-3), 0.125, 8.0
+            )
+            img = (img - mu) * gain + mu
         outs = []
         level_img = img
         for lvl in range(self.n_levels):

@@ -43,6 +43,14 @@ def load_settings(path: str):
     def g(key, default=0.0):
         return float(d.get(key, default))
 
+    def gb(key, default):
+        """Boolean-flavored keys: accept true/false/on/off/yes/no strings
+        (stored verbatim by parse_opencv_yaml) as well as 0/1 numbers."""
+        v = d.get(key, default)
+        if isinstance(v, str):
+            return v.strip().lower() in ("1", "true", "on", "yes")
+        return bool(float(v))
+
     camera = Camera(
         fx=g("Camera.fx", 500.0), fy=g("Camera.fy", 500.0),
         cx=g("Camera.cx", 320.0), cy=g("Camera.cy", 240.0),
@@ -58,10 +66,12 @@ def load_settings(path: str):
         n_levels=int(g("ORBextractor.nLevels", 8)),
         max_frames_between_kf=int(g("Camera.fps", 30.0)),
         depth_th=g("ThDepth", 35.0),
-        # extension key (not in reference YAMLs, default on): gain-normalize
+        # extension keys (not in reference YAMLs, default on): gain-normalize
         # images before FAST so exposure drift / contrast collapse does not
-        # churn detection (ops/orb.py)
-        normalize_exposure=bool(g("ORBextractor.normalizeExposure", 1.0)),
+        # churn detection (ops/orb.py); exposureTargetMAD tunes the contrast
+        # the frame is rescaled to (gain capped to [1/8, 8] in the extractor)
+        normalize_exposure=gb("ORBextractor.normalizeExposure", 1.0),
+        exposure_target_mad=g("ORBextractor.exposureTargetMAD", 18.0),
     )
     extra = {
         "depth_map_factor": g("DepthMapFactor", 5000.0),

@@ -171,3 +171,34 @@ def test_exposure_normalization_survives_low_contrast(rng):
         for (x, y, l) in base
     )
     assert hit / max(len(base), 1) > 0.85, hit / max(len(base), 1)
+
+
+def test_exposure_gain_cap_no_fabrication_on_flat_frames(rng):
+    """The normalization gain is capped to [1/8, 8] (ADVICE r4): a near-flat
+    frame (MAD well under 1 uint8 step) must stay feature-poor instead of
+    having sub-threshold noise amplified past the FAST 20/7 thresholds.
+    With noise MAD ~0.2 the uncapped gain (~90x) turns noise into
+    full-budget corner detections; the capped gain (8x) leaves responses ~2,
+    below the min threshold 7."""
+    img = (100.0 + 0.25 * rng.standard_normal((240, 320))).astype(np.float32)
+    norm = ORBExtractor(n_features=300, normalize_exposure=True)
+    n = int(norm(img).n)
+    assert n < 30, n
+    # the uncapped gain (simulated by pre-scaling to the target MAD)
+    # saturates the budget on the same frame — the failure mode the cap fixes
+    mu, mad = img.mean(), np.abs(img - img.mean()).mean()
+    img_un = ((img - mu) * (18.0 / mad) + mu).astype(np.float32)
+    n_un = int(ORBExtractor(n_features=300)(img_un).n)
+    assert n_un > 250, n_un
+
+
+def test_exposure_normalization_ab_at_nominal_contrast(rng):
+    """A/B detection-count check at nominal contrast (ADVICE r4 / PARITY):
+    ordering is gain-invariant but the absolute 20/7 thresholds still gate
+    candidacy after rescaling, so the normalized detector may lose weak
+    near-threshold corners — the A/B bound keeps that loss small."""
+    raw = make_texture(rng, 240, 320, 600)
+    img = (100.0 + (raw - raw.mean())).astype(np.float32)
+    n_plain = int(ORBExtractor(n_features=300)(img).n)
+    n_norm = int(ORBExtractor(n_features=300, normalize_exposure=True)(img).n)
+    assert n_norm >= 0.9 * n_plain, (n_plain, n_norm)
