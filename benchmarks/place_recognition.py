@@ -1,24 +1,29 @@
-"""Place recognition at scale: candidate quality + query latency on a
-1000-keyframe database (VERDICT r3 Missing #4).
+"""Place recognition on the HARD case: same-world, different-phase queries
+(VERDICT r4 Missing #2 / Weak #2).
 
-The reference ships a ~1M-word ORBvoc (k=10, L=6, src/System.cc:65-75); this
-framework ships a 72k-word depth-5 bootstrap artifact. The gauntlet maps top
-out near ~100 keyframes, so this benchmark stresses the inverted index and
-the 0.8x-max-common / min-score filters at the scale where discrimination
-actually matters:
+The r4 version of this benchmark queried cross-world with near-database
+poses and measured precision 1.00 — while the gauntlet's Sim3 funnel, fed by
+same-world different-phase views, ran ~850 RANSAC attempts per closed loop.
+This rebuild measures what the loop detector actually experiences:
 
-  * 4 distinct synthetic worlds (different wall textures), 250 database
-    views each along an orbit -> 1000 database entries;
-  * 200 query views rendered at poses BETWEEN database poses, perturbed
-    with the gauntlet's exposure gain/brightness augmentation;
-  * ground truth relevance = database views of the SAME world within 0.2
-    orbit radians (≈ same heading, nearby position).
+  * ONE textured world; the database is TWO orbit passes (radius/height
+    jittered) of `--views` entries each — so every query has genuine
+    co-located entries from earlier passes AND hundreds of same-world
+    different-phase confusables sharing the wall textures;
+  * queries are a third pass, exposure-perturbed like the gauntlet;
+  * min_score is derived per query from its nearest-phase entries (the
+    live pipeline's min-covisible-score gate, src/KeyFrameDatabase.cc:79);
+  * ground truth relevance = orbit phase within 0.2 rad (co-located,
+    overlapping frusta).
 
-Reports recall@1/@5 (a relevant view among the top-k by L1 score), candidate
-precision of the prefiltered query set, and median query latency against the
-native inverted file.
+Reports recall@1, the candidate-set size per query (the Sim3-funnel load),
+funnel precision (fraction of candidates that are GT co-located — i.e. of
+Sim3 attempts that could geometrically succeed), and the same-place vs
+different-phase score margin that justifies the vocabulary size by
+measurement. Plus the easy cross-world control.
 
-Usage: python benchmarks/place_recognition.py [--cpu] [--views N] [--res WxH]
+Usage: python benchmarks/place_recognition.py [--cpu] [--views N]
+       [--vocab PATH.npz]
 """
 
 from __future__ import annotations
@@ -37,11 +42,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--views", type=int, default=250, help="db views per world")
-    ap.add_argument("--worlds", type=int, default=4)
-    ap.add_argument("--queries", type=int, default=50, help="queries per world")
+    ap.add_argument("--views", type=int, default=250, help="db views per pass")
+    ap.add_argument("--queries", type=int, default=120)
     ap.add_argument("--res", default="320x240")
     ap.add_argument("--n-features", type=int, default=600)
+    ap.add_argument("--vocab", default=None, help=".npz vocabulary (default: packaged)")
     args = ap.parse_args()
 
     import jax
@@ -65,77 +70,108 @@ def main():
     w, h = (int(x) for x in args.res.split("x"))
     cam = Camera(fx=250.0 * w / 320, fy=250.0 * w / 320, cx=w / 2, cy=h / 2,
                  width=w, height=h, bf=20.0)
-    voc = bow.bootstrap_vocabulary()
+    voc = (bow.Vocabulary.load(args.vocab) if args.vocab
+           else bow.bootstrap_vocabulary())
     ext = ORBExtractor(n_features=args.n_features)
     db = KeyFrameDatabase(voc)
 
     def vec_of(img):
         feats = ext(np.asarray(img, np.float32))
-        desc = np.asarray(feats.desc)
-        valid = np.asarray(feats.valid)
-        words, _, weights = bow.transform(voc, desc, valid)
+        words, _, weights = bow.transform(
+            voc, np.asarray(feats.desc), np.asarray(feats.valid))
         return bow.bow_vector(words, weights, voc.n_words)
 
-    # -- build the database -------------------------------------------------
-    worlds = []
-    t_build = time.perf_counter()
-    for wd in range(args.worlds):
-        seq = BoxSequence(camera=cam, n_frames=args.views, turns=1.0,
-                          half_size=8.0, radius=2.0, seed=wd * 101 + 1)
-        worlds.append(seq)
-        for i in range(args.views):
-            ids, vals = vec_of(seq.render(i))
-            db.add(wd * 100000 + i, ids, vals)
-    t_build = time.perf_counter() - t_build
-    n_db = args.worlds * args.views
+    world = BoxSequence(camera=cam, n_frames=args.views, turns=1.0,
+                        half_size=8.0, radius=2.0, seed=77)
 
-    # -- queries -------------------------------------------------------------
+    def pose_at(theta, radius, y):
+        c = radius * np.array([np.sin(theta), 0.0, np.cos(theta)])
+        c[1] = y
+        cy_, sy_ = np.cos(theta), np.sin(theta)
+        r_wc = np.array([[cy_, 0, sy_], [0, 1, 0], [-sy_, 0, cy_]])
+        t_cw = np.eye(4, dtype=np.float32)
+        t_cw[:3, :3] = r_wc.T
+        t_cw[:3, 3] = -r_wc.T @ c
+        return t_cw
+
+    # -- database: two jittered passes of the SAME world --------------------
     rng = np.random.default_rng(3)
-    rec1 = rec5 = 0
-    precisions, latencies, cand_sizes = [], [], []
-    n_q = 0
-    th = 0.2  # orbit radians ~ relevance window
-    for wd, seq in enumerate(worlds):
-        # mid-pose queries with gauntlet-style exposure perturbation
-        qidx = np.linspace(2, args.views - 3, args.queries).astype(int)
-        for qi in qidx:
-            img = seq.render_pose(
-                0.5 * (seq.pose(int(qi)) + seq.pose(int(qi) + 1)))
-            gain = 1.0 + 0.25 * float(rng.uniform(-1, 1))
-            img = np.clip(img * gain + 8.0 * float(rng.uniform(-1, 1)), 0, 255)
+    thetas = 2 * np.pi * np.arange(args.views) / args.views
+    db_theta = {}
+    t_build = time.perf_counter()
+    for p, (dr, dy) in enumerate(((0.0, 0.0), (0.12, 0.08))):
+        for i, th in enumerate(thetas):
+            img = world.render_pose(pose_at(th, 2.0 + dr, dy))
             ids, vals = vec_of(img)
-            t0 = time.perf_counter()
-            kfs, scores = db._b.query(ids, vals, set(), -np.inf)
-            latencies.append(time.perf_counter() - t0)
-            n_q += 1
-            if not kfs:
-                continue
-            theta_q = 2 * np.pi * (qi + 0.5) / max(args.views - 1, 1)
+            kf_id = p * 100000 + i
+            db.add(kf_id, ids, vals)
+            db_theta[kf_id] = th
+    t_build = time.perf_counter() - t_build
+    n_db = 2 * args.views
 
-            def relevant(kf_id):
-                if kf_id // 100000 != wd:
-                    return False
-                theta_d = 2 * np.pi * (kf_id % 100000) / max(args.views - 1, 1)
-                d = abs(theta_q - theta_d)
-                return min(d, 2 * np.pi - d) < th
+    # -- queries: third pass, gauntlet-style exposure perturbation ----------
+    th_rel = 0.2
+    q_thetas = 2 * np.pi * (np.arange(args.queries) + 0.37) / args.queries
+    rec1 = 0
+    cand_sizes, precisions, latencies = [], [], []
+    margins_same, margins_phase = [], []
+    for qi, th in enumerate(q_thetas):
+        img = world.render_pose(pose_at(th, 2.06, 0.04))
+        gain = 1.0 + 0.25 * float(rng.uniform(-1, 1))
+        img = np.clip(img * gain + 8.0 * float(rng.uniform(-1, 1)), 0, 255)
+        ids, vals = vec_of(img)
 
-            order = np.argsort(-np.asarray(scores))
-            top = [kfs[i] for i in order]
-            rec1 += relevant(top[0])
-            rec5 += any(relevant(k) for k in top[:5])
-            rel = sum(relevant(k) for k in kfs)
-            precisions.append(rel / len(kfs))
+        def ang(a, b):
+            d = abs(a - b)
+            return min(d, 2 * np.pi - d)
+
+        # the live pipeline's min-score gate: min L1 score over the query's
+        # nearest-phase entries (== the min covisible-keyframe score)
+        near = sorted(db_theta, key=lambda k: ang(db_theta[k], th))[:5]
+        near_scores = [db.score_vec((ids, vals), k) for k in near]
+        min_score = min(near_scores)
+
+        t0 = time.perf_counter()
+        kfs, scores = db._b.query(ids, vals, set(), min_score)
+        latencies.append(time.perf_counter() - t0)
+        relevant = [k for k in kfs if ang(db_theta[k], th) < th_rel]
+        if kfs:
+            top = kfs[int(np.argmax(scores))]
+            rec1 += ang(db_theta[top], th) < th_rel
             cand_sizes.append(len(kfs))
+            precisions.append(len(relevant) / len(kfs))
+        # score margin: co-located vs different-phase (>= 90 deg away)
+        margins_same.append(float(np.median(near_scores)))
+        far = [k for k in db_theta if ang(db_theta[k], th) > np.pi / 2]
+        far_sample = rng.choice(len(far), 8, replace=False)
+        margins_phase.append(float(np.median(
+            [db.score_vec((ids, vals), far[int(j)]) for j in far_sample])))
+
+    # -- easy cross-world control (the r4 benchmark's case) -----------------
+    other = BoxSequence(camera=cam, n_frames=8, turns=1.0, half_size=8.0,
+                        radius=2.0, seed=978)
+    cross = []
+    for i in range(8):
+        ids, vals = vec_of(other.render(i))
+        kfs, scores = db._b.query(ids, vals, set(), 1e-9)
+        s_same = [db.score_vec((ids, vals), k) for k in list(db_theta)[:8]]
+        cross.append(max(scores) if scores else 0.0)
 
     out = {
-        "metric": "place_recognition_at_scale",
+        "metric": "place_recognition_same_world",
         "db_keyframes": n_db,
         "vocabulary_words": int(voc.n_words),
-        "queries": n_q,
-        "recall_at_1": round(rec1 / max(n_q, 1), 3),
-        "recall_at_5": round(rec5 / max(n_q, 1), 3),
-        "candidate_precision_median": round(float(np.median(precisions)), 3) if precisions else None,
+        "vocabulary_depth": int(voc.depth),
+        "queries": len(q_thetas),
+        "recall_at_1": round(rec1 / max(len(q_thetas), 1), 3),
         "candidate_set_median": int(np.median(cand_sizes)) if cand_sizes else 0,
+        "funnel_precision_median": round(float(np.median(precisions)), 3) if precisions else None,
+        "funnel_precision_mean": round(float(np.mean(precisions)), 3) if precisions else None,
+        "score_same_place_median": round(float(np.median(margins_same)), 4),
+        "score_diff_phase_median": round(float(np.median(margins_phase)), 4),
+        "phase_margin": round(float(np.median(margins_same))
+                              / max(float(np.median(margins_phase)), 1e-9), 2),
+        "cross_world_max_score_median": round(float(np.median(cross)), 4),
         "query_latency_ms_median": round(1e3 * float(np.median(latencies)), 3),
         "db_build_s": round(t_build, 1),
         "native_index": db.is_native,

@@ -4,20 +4,28 @@ Corpus: descriptors from varied synthetic scenes (plane sequences + box
 orbits/corridors/sways over many texture seeds at 640x480) — the same
 generator family the framework's tests/benchmarks use, so the tree is
 matched to the extractor's BRIEF-pattern descriptor distribution. Default
-k=10, depth=5 -> up to ~100k words (the reference's ORBvoc is k=10, L=6 ->
-1M words, trained on real imagery at far larger corpus scale; grow the
-corpus + depth the same way for a production tree; a real ORBvoc.txt can
+k=10, depth=6 on a multi-million-descriptor corpus -> an ORBvoc-scale tree
+(the reference's ORBvoc is k=10, L=6 -> ~1M words trained on real imagery,
+src/System.cc:65-75 / TemplatedVocabulary.h:1338; a real ORBvoc.txt can
 also be imported directly via utils/vocab_tools.py).
 
-Also reports the place-recognition separation ratio (same-place vs
-different-place BoW similarity) so vocabulary quality is tracked per build.
+Reports two separation statistics so vocabulary quality is tracked per
+build:
+  * same-place ratio: same-place vs different-world BoW similarity (easy);
+  * phase ratio: same-place vs SAME-world different-phase similarity — the
+    case the loop-closing funnel actually experiences (a small vocabulary
+    collapses a world's texture onto shared words, so every keyframe of the
+    world scores high against every other and the Sim3 stage drowns in
+    geometric rejections; see GAUNTLET funnel stats).
 
 Usage: python benchmarks/train_bootstrap_vocab.py [OUT.npz] [--depth D]
+       [--target-desc N]
 """
 
 import argparse
 import os
 import sys
+import time
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
@@ -38,53 +46,81 @@ from orbslam2commentedbyxcm_tpu.utils.synth import (  # noqa: E402
 )
 
 
-def gather_corpus(n_plane=20, n_box=16, verbose=True):
+def gather_corpus(target_desc=3_500_000, verbose=True):
+    """Render/extract until `target_desc` descriptors are collected.
+
+    Scene mix: ~1/4 textured-plane sequences, ~3/4 box worlds with varied
+    texture seed, room size, camera radius and trajectory — wide coverage of
+    the descriptor distribution the gauntlet/benchmark scenes draw from.
+    """
     cam = default_camera()
     ext = ORBExtractor(n_features=1200)
     descs = []
+    total = 0
+    t0 = time.perf_counter()
 
     def grab(img):
+        nonlocal total
         f = ext(img.astype(np.float32))
-        descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
+        d = np.asarray(f.desc)[np.asarray(f.valid)]
+        descs.append(d)
+        total += len(d)
 
-    for seed in range(n_plane):
-        traj = ("sideways", "forward", "arc", "outback")[seed % 4]
-        seq = SyntheticSequence(camera=cam, n_frames=5, seed=seed, trajectory=traj)
-        for i in range(5):
-            grab(seq.render(i))
-        if verbose:
-            print(f"plane scene {seed}: {sum(len(d) for d in descs)} descs", flush=True)
-
-    for seed in range(100, 100 + n_box):
-        traj = ("orbit", "line", "sway")[seed % 3]
-        seq = BoxSequence(camera=cam, n_frames=12, seed=seed, turns=1.0,
-                          trajectory=traj)
-        for i in range(0, 12, 2):
-            grab(seq.render(i))
-        if verbose:
-            print(f"box scene {seed}: {sum(len(d) for d in descs)} descs", flush=True)
+    seed = 0
+    while total < target_desc:
+        if seed % 4 == 0:
+            traj = ("sideways", "forward", "arc", "outback")[(seed // 4) % 4]
+            seq = SyntheticSequence(camera=cam, n_frames=5, seed=seed,
+                                    trajectory=traj)
+            for i in range(5):
+                grab(seq.render(i))
+        else:
+            traj = ("orbit", "line", "sway")[seed % 3]
+            seq = BoxSequence(
+                camera=cam, n_frames=10, seed=seed, turns=1.0,
+                trajectory=traj,
+                half_size=6.0 + 4.0 * ((seed * 7) % 5) / 4.0,
+                radius=1.5 + 1.5 * ((seed * 3) % 4) / 3.0,
+            )
+            for i in range(0, 10, 2):
+                grab(seq.render(i))
+        if verbose and seed % 25 == 0:
+            dt = time.perf_counter() - t0
+            print(f"scene {seed}: {total} descs ({dt:.0f}s)", flush=True)
+        seed += 1
     return np.concatenate(descs)
 
 
-def separation_ratio(voc, n_scenes=6):
-    """Same-place vs different-place BoW-score ratio over held-out box scenes."""
+def separation_ratios(voc, n_scenes=6, views_per_world=24):
+    """(easy_ratio, phase_ratio): same-place score vs (a) different-world
+    score and (b) same-world different-phase score, over held-out box worlds.
+
+    Phase pairs are orbit views >= 90 degrees apart: they see different walls
+    of the same textured world — the candidate class that floods the Sim3
+    funnel when the vocabulary under-discriminates."""
     cam = default_camera()
     ext = ORBExtractor(n_features=1000)
-    vecs = []
+    worlds = []
     for seed in range(500, 500 + n_scenes):
-        seq = BoxSequence(camera=cam, n_frames=40, seed=seed, turns=1.0)
-        pair = []
-        for i in (0, 2):  # nearby views of the same place
+        seq = BoxSequence(camera=cam, n_frames=views_per_world, seed=seed,
+                          turns=1.0)
+        vecs = []
+        for i in range(0, views_per_world, 2):
             f = ext(seq.render(i).astype(np.float32))
             words, _, weights = bow.transform(voc, f.desc, f.valid)
-            pair.append(bow.bow_vector(words, weights, voc.n_words))
-        vecs.append(pair)
-    same, diff = [], []
+            vecs.append(bow.bow_vector(words, weights, voc.n_words))
+        worlds.append(vecs)
+    same, phase, diff = [], [], []
+    n_vec = len(worlds[0])
     for a in range(n_scenes):
-        same.append(float(bow.score(*vecs[a][0], *vecs[a][1])))
+        same.append(float(bow.score(*worlds[a][0], *worlds[a][1])))
+        # different phase: views >= 1/4 revolution apart in the same world
+        for j in range(n_vec // 4, (3 * n_vec) // 4):
+            phase.append(float(bow.score(*worlds[a][0], *worlds[a][j])))
         for b in range(a + 1, n_scenes):
-            diff.append(float(bow.score(*vecs[a][0], *vecs[b][0])))
-    return float(np.mean(same) / max(np.mean(diff), 1e-9)), float(np.mean(same)), float(np.mean(diff))
+            diff.append(float(bow.score(*worlds[a][0], *worlds[b][0])))
+    sm, ph, df = (float(np.mean(x)) for x in (same, phase, diff))
+    return sm / max(df, 1e-9), sm / max(ph, 1e-9), sm, ph, df
 
 
 def main():
@@ -93,21 +129,24 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "orbslam2commentedbyxcm_tpu", "assets", "bootstrap_vocab.npz",
     ))
-    ap.add_argument("--depth", type=int, default=5)
+    ap.add_argument("--depth", type=int, default=6)
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--max-train", type=int, default=400_000)
+    ap.add_argument("--target-desc", type=int, default=3_500_000)
+    ap.add_argument("--max-train", type=int, default=6_000_000)
     args = ap.parse_args()
 
-    alld = gather_corpus()
+    alld = gather_corpus(target_desc=args.target_desc)
     print("total descriptors:", len(alld), flush=True)
+    t0 = time.perf_counter()
     voc = bow.train_vocabulary(alld, k=args.k, depth=args.depth,
                                kmeans_iters=8, max_train=args.max_train)
+    print(f"k-means {time.perf_counter() - t0:.0f}s", flush=True)
     voc.save(args.out)
     print(f"trained {voc.n_words} words, {len(voc.node_desc)} nodes -> "
           f"{args.out} ({os.path.getsize(args.out)} bytes)", flush=True)
-    ratio, same, diff = separation_ratio(voc)
-    print(f"separation ratio {ratio:.2f} (same {same:.4f} / diff {diff:.4f})",
-          flush=True)
+    easy, phase, sm, ph, df = separation_ratios(voc)
+    print(f"separation: easy {easy:.2f} (same {sm:.4f} / diff-world {df:.4f}), "
+          f"phase {phase:.2f} (same-world diff-phase {ph:.4f})", flush=True)
 
 
 if __name__ == "__main__":

@@ -47,6 +47,17 @@ class Vocabulary:
     def n_words(self) -> int:
         return len(self.word_weight)
 
+    def device_tree(self):
+        """Device-resident (node_desc, node_children) for the descent —
+        uploaded once and cached on the instance. At ORBvoc scale the tree
+        is tens of MB; re-uploading it per transform call would dominate the
+        BoW stage on hosted devices."""
+        dev = getattr(self, "_dev_tree", None)
+        if dev is None:
+            dev = (jnp.asarray(self.node_desc), jnp.asarray(self.node_children))
+            object.__setattr__(self, "_dev_tree", dev)
+        return dev
+
     def save(self, path: str):
         np.savez_compressed(
             path, k=self.k, depth=self.depth, node_desc=self.node_desc,
@@ -106,6 +117,52 @@ def _kmeans_assign_update(desc_j, mask_j, centroids_j, k: int, iters: int):
     return cent, jnp.argmin(d, axis=1)
 
 
+_KMEANS_CHUNK = 1 << 16
+
+
+@functools.partial(jax.jit, static_argnames=("k", "iters"))
+def _kmeans_chunked(desc_c, mask_c, centroids_j, k: int, iters: int):
+    """Binary k-means over chunked descriptors (C, chunk, 8): per iteration a
+    scan over chunks accumulates one-hot sufficient statistics (counts +
+    per-bit sums) so peak memory is O(chunk * 256) regardless of corpus size —
+    this is the path the root/top-level nodes of a depth-6 million-descriptor
+    vocabulary take (the reference trains ORBvoc offline at this scale,
+    TemplatedVocabulary::create)."""
+
+    def iteration(cent, _):
+        def chunk_stats(carry, xs):
+            cnt, bitsum = carry
+            d_c, m_c = xs
+            dist = hamming_matrix(d_c, cent)
+            assign = jnp.argmin(dist, axis=1)
+            oh = jax.nn.one_hot(assign, k, dtype=jnp.float32) * m_c[:, None]
+            bits = unpack_bits(d_c)
+            return (cnt + oh.sum(axis=0), bitsum + oh.T @ bits), None
+
+        (cnt, bitsum), _ = jax.lax.scan(
+            chunk_stats,
+            (jnp.zeros(k, jnp.float32), jnp.zeros((k, 256), jnp.float32)),
+            (desc_c, mask_c),
+        )
+        maj = (bitsum / jnp.maximum(cnt, 1.0)[:, None] > 0.5).astype(jnp.uint32)
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        packed = jnp.sum(
+            maj.reshape(k, 8, 32) << shifts[None, None, :], axis=-1,
+            dtype=jnp.uint32,
+        )
+        packed = jnp.where((cnt < 0.5)[:, None], cent, packed)
+        return packed, None
+
+    cent, _ = jax.lax.scan(iteration, centroids_j, None, length=iters)
+
+    def chunk_assign(_, d_c):
+        dist = hamming_matrix(d_c, cent)
+        return 0, jnp.argmin(dist, axis=1)
+
+    _, assign = jax.lax.scan(chunk_assign, 0, desc_c)
+    return cent, assign.reshape(-1)
+
+
 def train_vocabulary(
     descriptors: np.ndarray, k: int = 10, depth: int = 4, seed: int = 0,
     kmeans_iters: int = 8, max_train: int = 200_000,
@@ -114,6 +171,33 @@ def train_vocabulary(
     rng = np.random.default_rng(seed)
     if len(descriptors) > max_train:
         descriptors = descriptors[rng.choice(len(descriptors), max_train, replace=False)]
+
+    from orbslam2commentedbyxcm_tpu.utils.bucketing import bucket, pad_mask, pad_rows
+
+    def _node_kmeans(subset):
+        init_idx = rng.choice(len(subset), k, replace=False)
+        n = len(subset)
+        if n <= _KMEANS_CHUNK * 2:
+            nb = bucket(n, 256)
+            cent, assign = _kmeans_assign_update(
+                jnp.asarray(pad_rows(subset, nb)),
+                jnp.asarray(pad_mask(n, nb).astype(np.float32)),
+                jnp.asarray(subset[init_idx]), k, kmeans_iters,
+            )
+        else:
+            # chunk count padded to a power of two: one compiled program per
+            # (chunk-count bucket) instead of per corpus size
+            n_chunks = bucket(-(-n // _KMEANS_CHUNK), 2)
+            nb = n_chunks * _KMEANS_CHUNK
+            desc_c = pad_rows(subset, nb).reshape(n_chunks, _KMEANS_CHUNK, 8)
+            mask_c = pad_mask(n, nb).astype(np.float32).reshape(
+                n_chunks, _KMEANS_CHUNK
+            )
+            cent, assign = _kmeans_chunked(
+                jnp.asarray(desc_c), jnp.asarray(mask_c),
+                jnp.asarray(subset[init_idx]), k, kmeans_iters,
+            )
+        return np.asarray(cent), np.asarray(assign)[:n]
 
     node_desc = [np.zeros(8, np.uint32)]
     node_children = [[]]
@@ -125,16 +209,7 @@ def train_vocabulary(
         nid, lvl, subset = stack.pop()
         if lvl >= depth or len(subset) < k:
             continue
-        from orbslam2commentedbyxcm_tpu.utils.bucketing import bucket, pad_mask, pad_rows
-
-        init_idx = rng.choice(len(subset), k, replace=False)
-        nb = bucket(len(subset), 256)
-        cent, assign = _kmeans_assign_update(
-            jnp.asarray(pad_rows(subset, nb)), jnp.asarray(pad_mask(len(subset), nb).astype(np.float32)),
-            jnp.asarray(subset[init_idx]), k, kmeans_iters
-        )
-        cent = np.asarray(cent)
-        assign = np.asarray(assign)[: len(subset)]
+        cent, assign = _node_kmeans(subset)
         for c in range(k):
             sel = subset[assign == c]
             if len(sel) == 0:
@@ -189,10 +264,13 @@ def _descend(desc_j, node_desc_j, children_j, depth: int, levelsup: int):
         has_child = ch >= 0
         ch_safe = jnp.maximum(ch, 0)
         cd = node_desc_j[ch_safe]                 # (N, k, 8)
-        a = unpack_bits(desc_j)                   # (N, 256)
-        b = unpack_bits(cd)                       # (N, k, 256)
-        d = jnp.sum(jnp.abs(b - a[:, None, :]), axis=-1)
-        d = jnp.where(has_child, d, 1e9)
+        # XOR + popcount Hamming: O(N*k*8) u32 intermediates instead of the
+        # unpack-to-bits (N, k, 256) float tensors — the descent is
+        # gather-bound, not MXU-bound, and this keeps million-descriptor
+        # training corpora in memory
+        x = desc_j[:, None, :] ^ cd               # (N, k, 8)
+        d = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+        d = jnp.where(has_child, d, jnp.int32(1 << 20))
         best = jnp.argmin(d, axis=1)
         nxt = jnp.take_along_axis(ch_safe, best[:, None], axis=1)[:, 0]
         any_child = jnp.any(has_child, axis=1)
@@ -202,21 +280,42 @@ def _descend(desc_j, node_desc_j, children_j, depth: int, levelsup: int):
     return node, node_at_levelsup
 
 
+_TRANSFORM_CHUNK = 1 << 16
+
+
 def transform(voc: Vocabulary, descriptors: np.ndarray, valid: np.ndarray, levelsup: int = 2):
     """Assign each descriptor to a word (leaf) + a grouping node `levelsup`
     levels above the leaves (DBoW2 FeatureVector grouping, levelsup=4 in the
     reference at depth 6; scaled to this vocab's depth).
 
     Returns (word (N,), group_node (N,), weights (N,)) as numpy, with -1
-    word for invalid slots.
+    word for invalid slots. Million-descriptor inputs (vocabulary training
+    idf pass) are processed in fixed-size chunks so the descent's (N, k, 8)
+    intermediates stay bounded and shapes stay compile-cached.
     """
     levelsup = min(levelsup, voc.depth - 1)
-    node, group = _descend(
-        jnp.asarray(descriptors), jnp.asarray(voc.node_desc),
-        jnp.asarray(voc.node_children), voc.depth, levelsup,
-    )
-    node = np.asarray(node)
-    group = np.asarray(group)
+    n = len(descriptors)
+    nd, nc = voc.device_tree()
+    if n > _TRANSFORM_CHUNK:
+        nodes, groups = [], []
+        for s in range(0, n, _TRANSFORM_CHUNK):
+            chunk = np.asarray(descriptors[s:s + _TRANSFORM_CHUNK])
+            m = len(chunk)
+            if m < _TRANSFORM_CHUNK:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((_TRANSFORM_CHUNK - m, 8), chunk.dtype)]
+                )
+            no, gr = _descend(jnp.asarray(chunk), nd, nc, voc.depth, levelsup)
+            nodes.append(np.asarray(no)[:m])
+            groups.append(np.asarray(gr)[:m])
+        node = np.concatenate(nodes)
+        group = np.concatenate(groups)
+    else:
+        node, group = _descend(
+            jnp.asarray(descriptors), nd, nc, voc.depth, levelsup,
+        )
+        node = np.asarray(node)
+        group = np.asarray(group)
     words = voc.word_id[node]
     words = np.where(valid, words, -1)
     weights = np.where(words >= 0, voc.word_weight[np.maximum(words, 0)], 0.0)
