@@ -366,6 +366,7 @@ class System:
         self.tracking.velocity = None
         self.tracking.trajectory = []
         self.tracking.vo_mode = False
+        self.tracking._prev_local_pids = None  # stale pids index the old map
         if self.keyframe_db is not None:
             self.keyframe_db.clear()
             self.map.erase_hooks.append(self.keyframe_db.erase)
@@ -412,6 +413,7 @@ class System:
         self.tracking.state = TrackingState.LOST
         self.tracking.last_frame = None
         self.tracking.velocity = None
+        self.tracking._prev_local_pids = None  # stale pids index the old map
         if voc is not None:
             self.vocabulary = voc
         if self.vocabulary is not None:
