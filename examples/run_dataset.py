@@ -57,7 +57,16 @@ def main():
     else:
         seq_dir, settings = args.paths[0], args.paths[1]
         camera, cfg, extra = load_settings(settings)
-        data = datasets.EurocDataset(seq_dir)
+        # EuRoC frames are raw distorted stereo: build rectification maps
+        # from the LEFT.*/RIGHT.* K/D/R/P settings keys when present
+        # (reference stereo_euroc contract, README.md:207); Camera.* must
+        # then describe the RECTIFIED projection P.
+        from orbslam2commentedbyxcm_tpu.utils.rectify import StereoRectifier
+
+        rectifier = StereoRectifier.from_settings(extra)
+        if rectifier is not None:
+            print("stereo rectification maps built from LEFT.*/RIGHT.*")
+        data = datasets.EurocDataset(seq_dir, rectifier=rectifier)
         sensor = Sensor.MONOCULAR if args.mono else Sensor.STEREO
 
     vocabulary = None

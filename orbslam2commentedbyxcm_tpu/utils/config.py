@@ -16,21 +16,60 @@ from orbslam2commentedbyxcm_tpu.utils.camera import Camera
 
 
 def parse_opencv_yaml(path: str) -> dict:
-    """Minimal parser for flat `Key.Sub: value` OpenCV YAML settings files."""
-    out: dict[str, float | str] = {}
+    """Minimal parser for flat `Key.Sub: value` OpenCV YAML settings files.
+
+    Also handles `!!opencv-matrix` blocks (rows/cols/dt/data) as emitted by
+    cv::FileStorage — the reference's stereo_euroc settings carry the
+    LEFT.*/RIGHT.* rectification matrices in this form
+    (/root/reference/README.md:207); they parse to (rows, cols) numpy arrays.
+    """
+    import numpy as np
+
+    out: dict = {}
     with open(path) as f:
-        for line in f:
-            line = line.split("#", 1)[0].strip()
-            if not line or line.startswith("%") or line.startswith("---"):
-                continue
-            m = re.match(r"([A-Za-z0-9_.]+)\s*:\s*(.+)", line)
-            if not m:
-                continue
-            key, val = m.group(1), m.group(2).strip().strip('"')
-            try:
-                out[key] = float(val)
-            except ValueError:
-                out[key] = val
+        lines = f.readlines()
+    i = 0
+    while i < len(lines):
+        line = lines[i].split("#", 1)[0].strip()
+        i += 1
+        if not line or line.startswith("%") or line.startswith("---"):
+            continue
+        m = re.match(r"([A-Za-z0-9_.]+)\s*:\s*(.+)", line)
+        if not m:
+            continue
+        key, val = m.group(1), m.group(2).strip().strip('"')
+        if val.startswith("!!opencv-matrix"):
+            rows = cols = None
+            data: list[float] = []
+            in_data = False
+            while i < len(lines):
+                sub = lines[i].split("#", 1)[0].strip()
+                if in_data or sub.startswith("data"):
+                    seg = sub.split(":", 1)[1] if ":" in sub and not in_data else sub
+                    data.extend(
+                        float(x) for x in re.findall(r"[-+0-9.eE]+", seg)
+                    )
+                    in_data = "]" not in sub
+                    i += 1
+                    if not in_data:
+                        break
+                elif sub.startswith("rows"):
+                    rows = int(float(sub.split(":", 1)[1]))
+                    i += 1
+                elif sub.startswith("cols"):
+                    cols = int(float(sub.split(":", 1)[1]))
+                    i += 1
+                elif sub.startswith("dt"):
+                    i += 1
+                else:
+                    break
+            if rows and cols and len(data) == rows * cols:
+                out[key] = np.asarray(data, np.float64).reshape(rows, cols)
+            continue
+        try:
+            out[key] = float(val)
+        except ValueError:
+            out[key] = val
     return out
 
 

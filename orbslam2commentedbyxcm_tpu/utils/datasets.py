@@ -118,9 +118,17 @@ class KittiOdometryDataset:
 
 
 class EurocDataset:
-    """EuRoC MAV: mav0/cam0/data + cam1/data with data.csv timestamps (ns)."""
+    """EuRoC MAV: mav0/cam0/data + cam1/data with data.csv timestamps (ns).
 
-    def __init__(self, root: str):
+    EuRoC ships RAW distorted, non-coplanar stereo frames; pass a
+    `rectifier` (utils/rectify.StereoRectifier built from the settings'
+    LEFT.*/RIGHT.* K/D/R/P) so frames are undistorted + row-aligned before
+    the stereo matcher — the reference's stereo_euroc contract
+    (/root/reference/README.md:207). Rectification runs here, i.e. on the
+    Prefetcher's IO thread, overlapped with tracking."""
+
+    def __init__(self, root: str, rectifier=None):
+        self.rectifier = rectifier
         self.cam0 = os.path.join(root, "mav0", "cam0")
         self.cam1 = os.path.join(root, "mav0", "cam1")
         self.frames: list[FrameRecord] = []
@@ -143,6 +151,10 @@ class EurocDataset:
         fr = self.frames[i]
         left = _imread_gray(fr.rgb_path)
         right = _imread_gray(fr.right_path) if fr.right_path else None
+        if self.rectifier is not None:
+            left = self.rectifier.rectify_left(left)
+            if right is not None:
+                right = self.rectifier.rectify_right(right)
         return fr.timestamp, left, right
 
     def groundtruth(self):
