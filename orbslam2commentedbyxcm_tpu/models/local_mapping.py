@@ -270,6 +270,12 @@ class LocalMapping:
         # fuse / local BA / culling are deferred while the queue is non-empty.
         self.pending_check = None
 
+    def _span(self, name: str):
+        import contextlib
+
+        return (self.tracer.span(name) if self.tracer is not None
+                else contextlib.nullcontext())
+
     def interrupt_ba(self):
         """== reference LocalMapping::InterruptBA (src/Tracking.cc:1168)."""
         self.abort_ba = True
@@ -305,7 +311,8 @@ class LocalMapping:
             if not self._more_pending():
                 with span("local_ba"):
                     self.local_bundle_adjustment(kf)
-                self.cull_keyframes(kf)
+                with span("map_host_cull"):
+                    self.cull_keyframes(kf)
         if self.loop_closer is not None:
             with span("loop_closing"):
                 self.loop_closer.insert_keyframe(kf_id)
@@ -424,20 +431,23 @@ class LocalMapping:
             )
             best, ok, pts, good = jax.device_get((best, ok, pts, good))
         created = []
-        for b, nb in enumerate(nbs):
-            for i in np.nonzero(good[b])[0]:
-                if kf.map_pt[i] >= 0 or nb.map_pt[best[b, i]] >= 0:
-                    continue  # raced within this batch
-                pid = self.map.add_point(pts[b, i], kf.desc[i], kf.kf_id)
-                self.map.pt_first_kf[pid] = kf.kf_id
-                self.map.add_observation(pid, kf.kf_id, int(i))
-                self.map.add_observation(pid, nb.kf_id, int(best[b, i]))
-                self.recent_points.append((pid, kf.kf_id))
-                created.append(pid)
+        with self._span("map_host_create"):
+            for b, nb in enumerate(nbs):
+                for i in np.nonzero(good[b])[0]:
+                    if kf.map_pt[i] >= 0 or nb.map_pt[best[b, i]] >= 0:
+                        continue  # raced within this batch
+                    pid = self.map.add_point(pts[b, i], kf.desc[i], kf.kf_id)
+                    self.map.pt_first_kf[pid] = kf.kf_id
+                    self.map.add_observation(pid, kf.kf_id, int(i))
+                    self.map.add_observation(pid, nb.kf_id, int(best[b, i]))
+                    self.recent_points.append((pid, kf.kf_id))
+                    created.append(pid)
         if created:
-            self.map.update_point_descriptors_batch(created)
-            self.map.update_points_batch(created)
-        self.map.update_connections(kf)
+            with self._span("map_host_ptbatch"):
+                self.map.update_point_descriptors_batch(created)
+                self.map.update_points_batch(created)
+        with self._span("map_host_connections"):
+            self.map.update_connections(kf)
 
     def _scene_median_depth(self, kf: KeyFrame) -> float:
         """KeyFrame::ComputeSceneMedianDepth (src/KeyFrame.cc:682)."""
@@ -469,6 +479,10 @@ class LocalMapping:
         feat = np.nonzero(ok)[0]
         if len(feat) == 0:
             return
+        with self._span("map_host_merge"):
+            self._merge_matches_impl(m, n, feat, target, pids, best_pt, touched)
+
+    def _merge_matches_impl(self, m, n, feat, target, pids, best_pt, touched):
         slot = np.asarray(best_pt)[feat]
         keep = slot < n
         feat, slot = feat[keep], slot[keep]
@@ -591,9 +605,11 @@ class LocalMapping:
         nb_pids = self.map.points_seen_by(targets)
         fuse_into(kf, nb_pids)
         if touched:
-            self.map.update_point_descriptors_batch(touched)
-            self.map.update_points_batch(touched)
-        self.map.update_connections(kf)
+            with self._span("map_host_ptbatch"):
+                self.map.update_point_descriptors_batch(touched)
+                self.map.update_points_batch(touched)
+        with self._span("map_host_connections"):
+            self.map.update_connections(kf)
 
     # -- keyframe culling --------------------------------------------------
 
@@ -649,7 +665,8 @@ class LocalMapping:
         m = self.map
         cam = self.camera
         local_set = [i for i in dict.fromkeys(local_ids) if i in m.keyframes and not m.keyframes[i].bad]
-        problem = assemble_ba_problem(m, local_set, fixed_ids=fixed_ids)
+        with self._span("map_host_assemble"):
+            problem = assemble_ba_problem(m, local_set, fixed_ids=fixed_ids)
         if problem is None:
             return
         import contextlib
@@ -665,7 +682,8 @@ class LocalMapping:
             # device span — otherwise the wait surfaces in write_back's
             # np.asarray and is misattributed to host bookkeeping
             np.asarray(res.poses)
-        write_back_ba(m, problem, res)
+        with self._span("map_host_writeback"):
+            write_back_ba(m, problem, res)
 
 
 def assemble_ba_problem(m: Map, local_set, fixed_ids=None):
