@@ -247,20 +247,21 @@ class LoopClosing:
     def finalize(self, kf: KeyFrame, found) -> None:
         """Phase 3 — guided >=40 gate + loop correction + DB registration,
         under the map lock (mutates the map; the guided search walks the
-        native observation index). Deviation from the reference: a guided-
-        gate failure abandons the keyframe's remaining candidates instead of
-        continuing the candidate loop — measured guided_fail is ~0."""
-        if found is not None:
-            cand_id, s_cur_corr = found
+        native observation index). `found` is the ordered list of refined
+        Sim3 survivors; like the reference's candidate loop
+        (src/LoopClosing.cc:236-439), a guided-gate failure moves on to the
+        next surviving candidate instead of abandoning the keyframe."""
+        for cand_id, s_cur_corr in (found or ()):
             ckf = self.map.keyframes.get(cand_id)
-            if ckf is not None and not ckf.bad and not kf.bad:
-                group = set(ckf.best_covisible()) | {cand_id}
-                loop_pids = self.map.points_seen_by(group)
-                self.stats["sim3_ok"] += 1
-                if self._count_guided_matches(kf, s_cur_corr, loop_pids) >= 40:
-                    self._correct_loop(kf, cand_id, s_cur_corr, loop_pids)
-                else:
-                    self.stats["guided_fail"] += 1
+            if ckf is None or ckf.bad or kf.bad:
+                continue
+            group = set(ckf.best_covisible()) | {cand_id}
+            loop_pids = self.map.points_seen_by(group)
+            self.stats["sim3_ok"] += 1
+            if self._count_guided_matches(kf, s_cur_corr, loop_pids) >= 40:
+                self._correct_loop(kf, cand_id, s_cur_corr, loop_pids)
+                break
+            self.stats["guided_fail"] += 1
         self.db.add(kf.kf_id, kf.bow_vec[0], kf.bow_vec[1])
 
     # -- detection ---------------------------------------------------------
@@ -390,6 +391,7 @@ class LoopClosing:
         s12_all = np.asarray(bres.s12)
         inliers_all = np.asarray(bres.inliers)
 
+        survivors = []
         for i, (cand_id, ckf, my_feat, their_feat, p1, p2, sig1, sig2) in enumerate(lanes):
             if not bool(success[i]):
                 self.stats["ransac_fail"] += 1
@@ -400,8 +402,8 @@ class LoopClosing:
                 my_feat, their_feat, s12_all[i], inliers_all[i], lvl_sig,
             )
             if out is not None:
-                return out
-        return None
+                survivors.append(out)
+        return survivors or None
 
     def _match_candidates_batched(self, kf, my, batch):
         """SearchByBoW KF<->KF over the whole candidate batch in ONE device

@@ -283,10 +283,16 @@ def _descend(desc_j, node_desc_j, children_j, depth: int, levelsup: int):
 _TRANSFORM_CHUNK = 1 << 16
 
 
-def transform(voc: Vocabulary, descriptors: np.ndarray, valid: np.ndarray, levelsup: int = 2):
+def transform(voc: Vocabulary, descriptors: np.ndarray, valid: np.ndarray, levelsup: int = 4):
     """Assign each descriptor to a word (leaf) + a grouping node `levelsup`
-    levels above the leaves (DBoW2 FeatureVector grouping, levelsup=4 in the
-    reference at depth 6; scaled to this vocab's depth).
+    levels above the leaves (DBoW2 FeatureVector grouping; levelsup=4 exactly
+    like the reference's ORBvoc transform, TemplatedVocabulary.h:1129 /
+    Frame::ComputeBoW src/Frame.cc:573-583). At the shipped depth-6
+    vocabulary this groups features under the ~level-2 nodes; a finer
+    grouping (the old levelsup=2 default, tuned for the depth-4/5 bootstrap
+    trees) starves SearchByBoW's node-gated candidate sets — measured on the
+    figure-eight re-entry: every KF<->KF match fell below the 20-match gate
+    and the loop was missed.
 
     Returns (word (N,), group_node (N,), weights (N,)) as numpy, with -1
     word for invalid slots. Million-descriptor inputs (vocabulary training
