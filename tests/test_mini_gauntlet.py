@@ -49,3 +49,51 @@ def test_forward_tracks(forward_rec):
 
 def test_forward_drift_gate(forward_rec):
     assert forward_rec["drift_pct"] < 3.0, forward_rec
+
+
+@pytest.fixture(scope="module")
+def sway_rec():
+    return run_sequence("sway", 250, augment=True, async_mapping=True,
+                        camera=_cam(), n_features=600)
+
+
+@pytest.fixture(scope="module")
+def eight_rec():
+    # eight needs headroom over the 320x240/600-feature tier: at that size
+    # the re-entry KF<->KF BoW matches sit right at the >=20 gate and the
+    # closure is flaky; at 400x300/900 it closes with 0.17% drift (measured)
+    cam = Camera(fx=312.0, fy=312.0, cx=200.0, cy=150.0, width=400,
+                 height=300, bf=25.0, th_depth=50.0)
+    return run_sequence("eight", 420, augment=True, async_mapping=True,
+                        camera=cam, n_features=900)
+
+
+def test_sway_drift_and_ate_gate(sway_rec):
+    # measured class: ATE 0.66 m / 1.74% drift with ~73% tracked (the
+    # 250-frame sway swings 4x faster than the published 1000-frame run);
+    # gates catch a 2x regression
+    assert sway_rec["drift_pct"] < 3.5, sway_rec
+    assert sway_rec["ate_rmse_m"] < 1.4, sway_rec
+
+
+def test_sway_loops_correctly_absent(sway_rec):
+    # GT adjudication (benchmarks/gauntlet.adjudicate_loops): sway's
+    # revisits stay covisibility-connected, so NO closure should fire and
+    # none should be missed — the claim is verified, not asserted
+    gt = sway_rec["gt_loops"]
+    assert gt["false_closures"] == 0, gt
+    assert gt["missed"] == 0, gt
+
+
+def test_eight_closes_loop(eight_rec):
+    assert eight_rec["tracked"] >= eight_rec["frames"] - 5, eight_rec
+    assert eight_rec["loops_closed"] >= 1, eight_rec["loop_stats"]
+    gt = eight_rec["gt_loops"]
+    assert gt["false_closures"] == 0, gt
+    assert gt["missed"] == 0, gt
+
+
+def test_eight_drift_gate(eight_rec):
+    # measured 0.17% with the closed loop; gate catches a loop-closure
+    # regression (unclosed runs measure ~1.0%+)
+    assert eight_rec["drift_pct"] < 0.8, eight_rec
