@@ -40,9 +40,11 @@ def _run(force_staged: bool, monkeypatch):
 def test_fused_single_dispatch_and_parity(monkeypatch):
     tracked_f, ate_f, spans_f = _run(False, monkeypatch)
     assert tracked_f >= N - 2
-    # ONE track_device span per steady-state frame; transitions (init,
-    # occasional fallback) may add a handful of staged dispatches
-    assert spans_f <= N + 10, spans_f
+    # ONE track_device span per steady-state frame; keyframe-insertion
+    # frames intentionally run the staged 2-dispatch path to refresh the
+    # fused local pack (~1 in 5 frames at this fixture's KF rate), plus a
+    # handful of transition frames
+    assert spans_f <= int(1.45 * N), spans_f
 
     tracked_s, ate_s, spans_s = _run(True, monkeypatch)
     assert tracked_s >= N - 2
